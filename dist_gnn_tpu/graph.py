@@ -1,0 +1,158 @@
+"""Graph containers (CSC layout, in-neighbors).
+
+The reference keeps the graph as two CPU torch tensors ``indptr``/``indices``
+(CSC of the directed graph, i.e. for each node its *in*-neighbors —
+``/root/reference/python/DistGNN/dataloading/dataset_preprocess.py:37-45``)
+plus optional per-edge sampling probabilities ``probs``.
+
+Here the host-side container is numpy (:class:`HostGraph`) and the
+device-side container is a pytree of jnp arrays (:class:`Graph`) with static
+metadata (num_nodes / num_edges / max_degree) hashable for jit.
+
+Design notes (TPU-first):
+  * ``indices`` is int32 (node ids < 2**31 for every OGB graph incl.
+    papers100M at 111M nodes); ``indptr`` is int64 when nnz >= 2**31.
+  * ``max_degree`` is static metadata: chunked edge walks (bias sampling,
+    heat) derive their static trip counts from it.
+  * ``edge_rows`` (the row id of every edge, i.e. CSR "expand indptr") is
+    materialised lazily — segment ops over edges need it and XLA has no
+    dynamic ``repeat``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Padding sentinel for node ids. Must sort *after* every valid id so the
+# sort-based unique/relabel compaction can push padding to the tail.
+INVALID_ID = np.iinfo(np.int32).max
+
+
+def _min_indptr_dtype(num_edges: int):
+    return np.int32 if num_edges < 2**31 else np.int64
+
+
+@dataclasses.dataclass(frozen=True)
+class HostGraph:
+    """CSC graph resident in host memory (numpy).
+
+    The analog of the reference's pinned CPU tensors
+    (``src/common/pin_memory.cc:7-12``); on TPU the host copy only feeds
+    device uploads / preprocessing — there is no UVA zero-copy path.
+    """
+
+    indptr: np.ndarray  # [N+1]
+    indices: np.ndarray  # [nnz] int32
+    probs: Optional[np.ndarray] = None  # [nnz] float32, unnormalised weights
+
+    def __post_init__(self):
+        assert self.indptr.ndim == 1 and self.indices.ndim == 1
+        if self.probs is not None:
+            assert self.probs.shape == self.indices.shape
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.indptr.shape[0] - 1)
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    @property
+    def max_degree(self) -> int:
+        if self.num_nodes == 0:
+            return 0
+        return int(self.degrees.max())
+
+    @staticmethod
+    def from_coo(
+        src: np.ndarray,
+        dst: np.ndarray,
+        num_nodes: int,
+        probs: Optional[np.ndarray] = None,
+        symmetrize: bool = False,
+    ) -> "HostGraph":
+        """Build the CSC (in-neighbor) graph from a directed edge list.
+
+        Mirrors the reference preprocessing: rows are *destinations*, the
+        stored neighbor list of a node is its in-neighbors
+        (``dataset_preprocess.py:37-45``).  ``symmetrize=True`` adds reverse
+        edges first (ogbn-products path).  Uses the native C++ builder when
+        available, else numpy counting sort.
+        """
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if probs is not None:
+                probs = np.concatenate([probs, probs])
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+
+        from dist_gnn_tpu.utils import native
+
+        built = native.build_csc(dst, src, num_nodes, probs)
+        if built is not None:
+            indptr, indices, out_probs = built
+            return HostGraph(indptr=indptr, indices=indices, probs=out_probs)
+
+        # numpy fallback: counting sort by destination.
+        counts = np.bincount(dst, minlength=num_nodes)
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        order = np.argsort(dst, kind="stable")
+        indices = src[order].astype(np.int32)
+        out_probs = probs[order].astype(np.float32) if probs is not None else None
+        indptr = indptr.astype(_min_indptr_dtype(len(indices)))
+        return HostGraph(indptr=indptr, indices=indices, probs=out_probs)
+
+    def to_device(self, sharding=None) -> "Graph":
+        put = lambda x: jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
+        return Graph(
+            indptr=put(self.indptr),
+            indices=put(self.indices.astype(np.int32)),
+            probs=put(self.probs.astype(np.float32)) if self.probs is not None else None,
+            num_nodes=self.num_nodes,
+            num_edges=self.num_edges,
+            max_degree=self.max_degree,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Device-resident CSC graph: a jit-friendly pytree with static metadata."""
+
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+    probs: Optional[jnp.ndarray]
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    max_degree: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def has_probs(self) -> bool:
+        return self.probs is not None
+
+    def degrees_of(self, nids: jnp.ndarray) -> jnp.ndarray:
+        """Degrees of (possibly padded) node ids; padding slots get 0."""
+        safe = jnp.clip(nids, 0, self.num_nodes - 1)
+        deg = (self.indptr[safe + 1] - self.indptr[safe]).astype(jnp.int32)
+        return jnp.where(nids == INVALID_ID, 0, deg)
+
+    def edge_rows(self) -> jnp.ndarray:
+        """Row (destination) id of every edge: CSR-expand of indptr.
+
+        ``searchsorted(indptr, e, 'right') - 1`` — static shape [nnz],
+        replaces the reference's per-thread row loops in the heat kernels
+        (``src/cache/cuda/preprocess_heat.cu:22-32``).
+        """
+        e = jnp.arange(self.num_edges, dtype=self.indptr.dtype)
+        return (jnp.searchsorted(self.indptr, e, side="right") - 1).astype(jnp.int32)

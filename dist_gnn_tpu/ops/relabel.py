@@ -1,0 +1,112 @@
+"""Unique + relabel with static capacity (sort-based compaction).
+
+TPU redesign of ``TensorRelabelCUDA`` (``src/sampling/cuda/tensor_relabel.cu:
+182-205``): the reference hash-inserts [seeds, coo_col] into a CAS hashmap
+keeping the minimum original position, flags first occurrences, scans, and
+compacts — producing an nnz-sized frontier where seeds occupy the first
+slots (the invariant ``sampler.cc:27-33`` relies on to chain layers).
+
+XLA wants static shapes, so here:
+
+  * capacity is fixed at ``num_seeds + num_seeds*k``; the frontier is padded
+    with INVALID_ID and carries a validity mask + a traced count.
+  * **positional seeds-first invariant**: frontier[i] == seeds[i] for
+    i < num_seeds *including padding slots*, so layer chaining is pure
+    slicing.  New unique neighbor ids follow from slot num_seeds, ordered by
+    ascending id (order within the tail is semantically irrelevant; the
+    reference orders by first occurrence).
+  * dedup is a single stable int64 sort of (id << 32 | position) + scans —
+    no atomics, no hashmap.
+
+Returns relabeled neighbor slot indices into the frontier; a neighbor equal
+to some seed maps to that seed's slot, duplicates map to one slot.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dist_gnn_tpu.graph import INVALID_ID
+
+
+class RelabeledFrontier(NamedTuple):
+    frontier: jnp.ndarray  # [num_seeds + B*k] int32 global ids, INVALID padded
+    frontier_mask: jnp.ndarray  # [capacity] bool
+    num_frontier: jnp.ndarray  # [] int32 — count of valid frontier entries
+    neigh_slots: jnp.ndarray  # [B, k] int32 — neighbor positions in frontier
+    # (only meaningful where the input neighbor mask was True)
+
+
+@jax.jit
+def unique_and_relabel(
+    seeds: jnp.ndarray,  # [S] int32, INVALID padded
+    neigh_ids: jnp.ndarray,  # [B, k] int32 global ids, INVALID on masked slots
+    neigh_mask: jnp.ndarray,  # [B, k] bool
+) -> RelabeledFrontier:
+    S = seeds.shape[0]
+    B, k = neigh_ids.shape
+    cap = S + B * k
+
+    flat_n = jnp.where(neigh_mask.reshape(-1), neigh_ids.reshape(-1), INVALID_ID)
+    ids = jnp.concatenate([seeds, flat_n])  # [cap]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = ids != INVALID_ID
+
+    # Stable argsort == lexicographic (id, position) order without any
+    # int64 key packing (x64 stays disabled).
+    s_pos = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    s_ids = ids[s_pos]
+    s_valid = s_ids != INVALID_ID
+
+    first = s_valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_ids[1:] != s_ids[:-1]]
+    )
+    # forward-fill index of the last group leader
+    lead_idx = jax.lax.cummax(jnp.where(first, pos, -1))
+    lead_pos = s_pos[jnp.clip(lead_idx, 0, cap - 1)]  # min position of the group
+
+    lead_is_seed = lead_pos < S
+    is_new_group = first & (~lead_is_seed)
+    new_rank = jnp.cumsum(is_new_group.astype(jnp.int32)) - 1  # rank at leaders
+    group_slot = jnp.where(lead_is_seed, lead_pos, S + new_rank)
+    # propagate the leader's slot to every member (new_rank is constant within
+    # a group after the leader because cumsum only bumps at new leaders)
+    slot_sorted = jnp.where(s_valid, group_slot, INVALID_ID)
+
+    # scatter back to original order
+    slots = jnp.zeros((cap,), jnp.int32).at[s_pos].set(slot_sorted)
+    slots = jnp.where(valid, slots, 0)
+
+    num_new = jnp.sum(is_new_group.astype(jnp.int32))
+    num_seed_valid = jnp.sum((seeds != INVALID_ID).astype(jnp.int32))
+
+    # frontier: seeds occupy [0, S) positionally; each new unique id is
+    # scattered at S + rank (targets are distinct; non-leaders aim out of
+    # bounds and are dropped).
+    scatter_to = jnp.where(is_new_group, S + new_rank, cap)
+    tail = (
+        jnp.full((cap,), INVALID_ID, jnp.int32)
+        .at[scatter_to]
+        .set(s_ids, mode="drop", unique_indices=True)
+    )
+    seed_region = jnp.concatenate([seeds, jnp.full((cap - S,), INVALID_ID, jnp.int32)])
+    frontier = jnp.where(jnp.arange(cap) < S, seed_region, tail)
+
+    frontier_mask = jnp.where(
+        jnp.arange(cap) < S,
+        frontier != INVALID_ID,
+        jnp.arange(cap) < S + num_new,
+    )
+    num_frontier = num_seed_valid + num_new
+
+    neigh_slots = slots[S:].reshape(B, k)
+    return RelabeledFrontier(
+        frontier=frontier,
+        frontier_mask=frontier_mask,
+        num_frontier=num_frontier,
+        neigh_slots=jnp.where(neigh_mask, neigh_slots, 0),
+    )

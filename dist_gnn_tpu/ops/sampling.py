@@ -1,0 +1,191 @@
+"""Rowwise neighbor sampling with static padded shapes.
+
+TPU redesign of the reference CUDA samplers:
+
+* uniform without replacement — reservoir kernel with AtomicMax
+  (``src/sampling/cuda/rowwise_sampling.cu:47-104``) becomes evaluation of a
+  keyed Feistel permutation of [0, degree) at slots 0..k-1: O(B*k) work,
+  no atomics, exactly-distinct picks, degree-independent.
+* uniform with replacement (``rowwise_sampling.cu:106-141``) — k independent
+  ``bits % degree`` draws.
+* biased (weighted) without replacement — the A-Res weighted reservoir with
+  FAISS WarpSelect top-k (``src/sampling/cuda/rowwise_sampling_bias.cu:62-146``)
+  becomes Gumbel-key top-k (argmax of log(u)/w over the row, identical
+  distribution to keys u**(1/w)), streamed over fixed-size edge chunks.
+* biased with replacement — warp-scan CDF + binary search
+  (``rowwise_sampling_bias.cu:184-220``) becomes a chunked inverse-CDF scan.
+
+Semantics parity: rows with degree <= k and replace=False return the full
+neighbor list (degree clamp, ``rowwise_sampling.cu:16-45``); padded seed
+slots (INVALID_ID) and zero-degree rows produce fully-masked outputs.
+
+All outputs are fixed-shape ``[B, k]`` id tensors + boolean masks; invalid
+slots hold INVALID_ID so downstream relabel/compaction can sort them to the
+tail.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dist_gnn_tpu.graph import INVALID_ID, Graph
+from dist_gnn_tpu.ops import prng
+
+
+class SampledNeighbors(NamedTuple):
+    ids: jnp.ndarray  # [B, k] int32 global neighbor ids, INVALID_ID padded
+    mask: jnp.ndarray  # [B, k] bool
+
+
+def _row_extents(graph: Graph, seeds: jnp.ndarray):
+    valid = seeds != INVALID_ID
+    safe = jnp.where(valid, seeds, 0)
+    start = graph.indptr[safe]
+    deg = (graph.indptr[safe + 1] - start).astype(jnp.int32)
+    deg = jnp.where(valid, deg, 0)
+    return start, deg, valid
+
+
+@partial(jax.jit, static_argnames=("k", "replace"))
+def sample_uniform(
+    graph: Graph, seeds: jnp.ndarray, k: int, replace: bool, key: jax.Array
+) -> SampledNeighbors:
+    """Uniformly sample up to ``k`` in-neighbors per seed row."""
+    B = seeds.shape[0]
+    start, deg, valid = _row_extents(graph, seeds)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+
+    if replace:
+        bits = prng.random_keys(key, (B, k))
+        sel = prng.uniform_mod(bits, deg[:, None])
+        mask = valid[:, None] & (deg[:, None] > 0)
+    else:
+        row_key = prng.random_keys(key, (B,))
+        perm = prng.feistel_permutation(j, deg[:, None], row_key[:, None])
+        take_all = deg[:, None] <= k
+        sel = jnp.where(take_all, j, perm)
+        mask = valid[:, None] & (j < jnp.minimum(deg[:, None], k))
+
+    pos = start[:, None] + sel.astype(start.dtype)
+    pos = jnp.clip(pos, 0, max(graph.num_edges - 1, 0))
+    ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
+    return SampledNeighbors(ids=ids, mask=mask)
+
+
+def _chunk_gather(arr, pos, in_range):
+    pos = jnp.clip(pos, 0, arr.shape[0] - 1)
+    return jnp.where(in_range, arr[pos], 0)
+
+
+@partial(jax.jit, static_argnames=("k", "replace", "chunk"))
+def sample_biased(
+    graph: Graph,
+    seeds: jnp.ndarray,
+    k: int,
+    replace: bool,
+    key: jax.Array,
+    chunk: int = 256,
+) -> SampledNeighbors:
+    """Weighted neighbor sampling (per-edge ``graph.probs`` weights).
+
+    Streams each row's edges in fixed chunks (static trip count derived from
+    ``graph.max_degree``), maintaining either a running Gumbel top-k
+    (without replacement) or a chunked inverse-CDF search (with
+    replacement).  Equivalent in distribution to the reference's A-Res /
+    CDF kernels but with no warp primitives and no per-row scratch arrays.
+    """
+    assert graph.probs is not None, "sample_biased requires graph.probs"
+    B = seeds.shape[0]
+    start, deg, valid = _row_extents(graph, seeds)
+    num_chunks = max(1, -(-graph.max_degree // chunk))
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
+
+    if not replace:
+        # Gumbel keys: argmax_k of log(u)/w  ==  A-Res keys u**(1/w) top-k.
+        row_key = prng.random_keys(key, (B,))
+        neg_inf = jnp.float32(-jnp.inf)
+
+        def body(c, carry):
+            best_keys, best_ids = carry
+            off = c * chunk + e_iota
+            in_row = off < deg[:, None]
+            pos = start[:, None] + off.astype(start.dtype)
+            w = _chunk_gather(graph.probs, pos, in_row)
+            ids = _chunk_gather(graph.indices, pos, in_row)
+            # per-(row, edge) uniform draw keyed by (row_key, edge offset)
+            bits = prng.mix32(row_key[:, None].astype(jnp.uint32) ^ prng.mix32(off.astype(jnp.uint32)))
+            u = prng.bits_to_uniform(bits)
+            gkey = jnp.where(in_row & (w > 0), jnp.log(u) / w, neg_inf)
+            cat_keys = jnp.concatenate([best_keys, gkey], axis=1)
+            cat_ids = jnp.concatenate([best_ids, ids], axis=1)
+            top_keys, top_idx = jax.lax.top_k(cat_keys, k)
+            top_ids = jnp.take_along_axis(cat_ids, top_idx, axis=1)
+            return top_keys, top_ids
+
+        init = (jnp.full((B, k), neg_inf), jnp.zeros((B, k), jnp.int32))
+        best_keys, best_ids = jax.lax.fori_loop(0, num_chunks, body, init)
+        mask = valid[:, None] & (best_keys > neg_inf)
+        ids = jnp.where(mask, best_ids, INVALID_ID)
+        return SampledNeighbors(ids=ids, mask=mask)
+
+    # With replacement: two-pass chunked inverse CDF.
+    def total_body(c, acc):
+        off = c * chunk + e_iota
+        in_row = off < deg[:, None]
+        pos = start[:, None] + off.astype(start.dtype)
+        w = _chunk_gather(graph.probs, pos, in_row)
+        return acc + jnp.sum(w, axis=1)
+
+    total_w = jax.lax.fori_loop(0, num_chunks, total_body, jnp.zeros((B,), jnp.float32))
+
+    u = prng.bits_to_uniform(prng.random_keys(key, (B, k))) * total_w[:, None]
+
+    def locate_body(c, carry):
+        cum_before, picked, found = carry
+        off = c * chunk + e_iota
+        in_row = off < deg[:, None]
+        pos = start[:, None] + off.astype(start.dtype)
+        w = _chunk_gather(graph.probs, pos, in_row)
+        ids = _chunk_gather(graph.indices, pos, in_row)
+        csum = jnp.cumsum(w, axis=1)  # [B, chunk]
+        chunk_total = csum[:, -1]
+        # draw t lands in this chunk if cum_before <= u_t < cum_before + chunk_total
+        local = u - cum_before[:, None]  # [B, k]
+        # first index with csum > local  (i.e. local < csum[idx])
+        idx = jnp.sum((csum[:, None, :] <= local[:, :, None]).astype(jnp.int32), axis=2)
+        in_chunk = (~found) & (local >= 0) & (local < chunk_total[:, None]) & (idx < chunk)
+        sel_ids = jnp.take_along_axis(ids, jnp.clip(idx, 0, chunk - 1), axis=1)
+        picked = jnp.where(in_chunk, sel_ids, picked)
+        found = found | in_chunk
+        return cum_before + chunk_total, picked, found
+
+    init = (
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+        jnp.zeros((B, k), jnp.bool_),
+    )
+    _, picked, found = jax.lax.fori_loop(0, num_chunks, locate_body, init)
+    mask = valid[:, None] & (total_w[:, None] > 0) & found
+    ids = jnp.where(mask, picked, INVALID_ID)
+    return SampledNeighbors(ids=ids, mask=mask)
+
+
+def sample_neighbors(
+    graph: Graph,
+    seeds: jnp.ndarray,
+    k: int,
+    replace: bool,
+    key: jax.Array,
+    biased: Optional[bool] = None,
+) -> SampledNeighbors:
+    """Dispatch uniform/biased on ``graph.probs`` like the reference sampler
+    (``src/sampling/sampler.cc:77-79``)."""
+    if biased is None:
+        biased = graph.probs is not None
+    if biased:
+        return sample_biased(graph, seeds, k, replace, key)
+    return sample_uniform(graph, seeds, k, replace, key)

@@ -1,0 +1,117 @@
+"""Multi-layer neighbor sampler producing static-shape training blocks.
+
+The TPU counterpart of ``P2PCacheSampler::NodeClassifictionSample``
+(``src/sampling/sampler.cc:14-62``): per layer, in reverse fanout order,
+sample → relabel → emit a block, with the frontier becoming the next
+layer's seeds.  Differences by design:
+
+* every block is a fixed-shape pytree (padded + masked), so the whole
+  multi-layer pipeline lives inside one ``jit`` — no per-layer nnz D2H
+  readbacks (the reference's serializing sync at
+  ``rowwise_sampling_p2p.cu:224-228``);
+* the frontier keeps the positional seeds-first invariant, so the model
+  chains layers by slicing (no index plumbing);
+* structure access is plain HBM gathers on a device-resident (possibly
+  replicated or sharded) CSC graph — cache routing is handled by the
+  structure cache layer, not inside the sampler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dist_gnn_tpu.graph import Graph
+from dist_gnn_tpu.ops.relabel import unique_and_relabel
+from dist_gnn_tpu.ops.sampling import sample_neighbors
+
+
+class Block(NamedTuple):
+    """One message-passing layer, dst = seeds, src = frontier.
+
+    Invariant: ``frontier[i] == seeds[i]`` for i < len(seeds) (positionally,
+    padding included), mirroring the reference's seeds-first frontier
+    (``tensor_relabel.cu:182-205``).
+    """
+
+    seeds: jnp.ndarray  # [S] int32 global ids (INVALID padded)
+    seed_mask: jnp.ndarray  # [S] bool
+    frontier: jnp.ndarray  # [S + S*k] int32 global ids (INVALID padded)
+    frontier_mask: jnp.ndarray  # [S + S*k] bool
+    num_frontier: jnp.ndarray  # [] int32
+    neigh_slots: jnp.ndarray  # [S, k] int32 — positions into frontier
+    neigh_mask: jnp.ndarray  # [S, k] bool
+
+    @property
+    def num_dst(self) -> int:
+        return self.seeds.shape[0]
+
+    @property
+    def num_src(self) -> int:
+        return self.frontier.shape[0]
+
+
+def layer_capacities(batch_size: int, fan_out: Sequence[int]) -> List[int]:
+    """Frontier capacity after each sampling hop (reverse fanout order)."""
+    caps = [batch_size]
+    for k in reversed(list(fan_out)):
+        caps.append(caps[-1] * (k + 1))
+    return caps
+
+
+@partial(jax.jit, static_argnames=("fan_out", "replace"))
+def sample_blocks(
+    graph: Graph,
+    seeds: jnp.ndarray,
+    seed_mask: jnp.ndarray,
+    fan_out: Tuple[int, ...],
+    replace: bool,
+    key: jax.Array,
+) -> Tuple[Block, ...]:
+    """Sample all layers; returns blocks ordered output-layer-first
+    (blocks[0].seeds is the mini-batch), like the reference's result list
+    (``sampler.cc:31-33``).  Reverse for input-first model consumption.
+    """
+    blocks = []
+    keys = jax.random.split(key, len(fan_out))
+    for i, k in enumerate(reversed(list(fan_out))):
+        nb = sample_neighbors(graph, seeds, k, replace, keys[i])
+        rl = unique_and_relabel(seeds, nb.ids, nb.mask)
+        blocks.append(
+            Block(
+                seeds=seeds,
+                seed_mask=seed_mask,
+                frontier=rl.frontier,
+                frontier_mask=rl.frontier_mask,
+                num_frontier=rl.num_frontier,
+                neigh_slots=rl.neigh_slots,
+                neigh_mask=nb.mask,
+            )
+        )
+        seeds = rl.frontier
+        seed_mask = rl.frontier_mask
+    return tuple(blocks)
+
+
+@dataclasses.dataclass
+class NeighborSampler:
+    """Convenience wrapper holding the graph + sampling config.
+
+    API parity with ``dgs.classes.P2PCacheSampler`` /
+    ``_CAPI_sample_node_classifiction`` (``src/pybind.cc:24``): construct
+    with the graph (+optional per-edge probs inside ``graph``), then call
+    :meth:`sample` per mini-batch.
+    """
+
+    graph: Graph
+    fan_out: Tuple[int, ...]
+    replace: bool = False
+
+    def sample(self, seeds, seed_mask, key) -> Tuple[Block, ...]:
+        return sample_blocks(
+            self.graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key
+        )

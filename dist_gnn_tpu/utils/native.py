@@ -1,0 +1,166 @@
+"""ctypes bridge to the native host runtime (csrc/ → libdistgnn_host.so).
+
+The reference implements its host/device runtime in C++/CUDA (graph
+extraction ``src/sampling/cuda/utils.cu``, pinned-memory management
+``src/common/pin_memory.cc``).  On TPU the device side is XLA/Pallas, but the
+host-side data plane (CSC construction from edge lists, subgraph extraction,
+shard packing) is still native C++ (OpenMP), loaded here via ctypes with a
+transparent numpy fallback when the library has not been built.
+
+Build: ``make -C csrc`` (see csrc/Makefile).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.path.join(here, "csrc", "libdistgnn_host.so"),
+        os.path.join(os.path.dirname(__file__), "libdistgnn_host.so"),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                _configure(lib)
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.dg_build_csc.argtypes = [
+        ctypes.c_int64,  # num_edges
+        ctypes.c_int64,  # num_nodes
+        i32p,  # dst (rows)
+        i32p,  # src (cols)
+        f32p,  # probs or NULL
+        i64p,  # out indptr [num_nodes+1]
+        i32p,  # out indices [num_edges]
+        f32p,  # out probs  [num_edges] or NULL
+    ]
+    lib.dg_build_csc.restype = ctypes.c_int
+    lib.dg_extract_subcsc.argtypes = [
+        ctypes.c_int64,  # num_cached
+        i32p,  # cache_nids
+        i64p,  # indptr
+        i32p,  # indices
+        f32p,  # probs or NULL
+        i64p,  # out sub_indptr [num_cached+1] (pre-filled by dg_degrees pass)
+        i32p,  # out sub_indices
+        f32p,  # out sub_probs or NULL
+    ]
+    lib.dg_extract_subcsc.restype = ctypes.c_int
+
+
+def available() -> bool:
+    return _find_lib() is not None
+
+
+def _as_ptr(a: Optional[np.ndarray], ctype):
+    if a is None:
+        return None
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def build_csc(
+    dst: np.ndarray, src: np.ndarray, num_nodes: int, probs: Optional[np.ndarray]
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """CSC build (row = dst) via native lib; None → caller uses numpy path."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    num_edges = int(dst.shape[0])
+    dst32 = np.ascontiguousarray(dst, dtype=np.int32)
+    src32 = np.ascontiguousarray(src, dtype=np.int32)
+    probs32 = np.ascontiguousarray(probs, dtype=np.float32) if probs is not None else None
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    indices = np.empty(num_edges, dtype=np.int32)
+    out_probs = np.empty(num_edges, dtype=np.float32) if probs is not None else None
+    rc = lib.dg_build_csc(
+        num_edges,
+        num_nodes,
+        _as_ptr(dst32, ctypes.c_int32),
+        _as_ptr(src32, ctypes.c_int32),
+        _as_ptr(probs32, ctypes.c_float),
+        _as_ptr(indptr, ctypes.c_int64),
+        _as_ptr(indices, ctypes.c_int32),
+        _as_ptr(out_probs, ctypes.c_float),
+    )
+    if rc != 0:
+        return None
+    if num_edges < 2**31:
+        indptr = indptr.astype(np.int32)
+    return indptr, indices, out_probs
+
+
+def extract_subcsc(
+    cache_nids: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    probs: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Compacted sub-CSR of the given rows.
+
+    The analog of ``ExtractIndptr``/``ExtractEdgeData``
+    (``src/sampling/cuda/utils.cu:12-101``): returns (sub_indptr,
+    sub_indices[, sub_probs]) where row i of the output is the full neighbor
+    list of ``cache_nids[i]``.  Native when built, numpy otherwise.
+    """
+    cache_nids = np.ascontiguousarray(cache_nids, dtype=np.int32)
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    deg = indptr64[cache_nids + 1] - indptr64[cache_nids]
+    sub_indptr = np.zeros(len(cache_nids) + 1, dtype=np.int64)
+    np.cumsum(deg, out=sub_indptr[1:])
+    nnz = int(sub_indptr[-1])
+    lib = _find_lib()
+    if lib is not None:
+        indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+        probs32 = np.ascontiguousarray(probs, dtype=np.float32) if probs is not None else None
+        sub_indices = np.empty(nnz, dtype=np.int32)
+        sub_probs = np.empty(nnz, dtype=np.float32) if probs is not None else None
+        rc = lib.dg_extract_subcsc(
+            len(cache_nids),
+            _as_ptr(cache_nids, ctypes.c_int32),
+            _as_ptr(indptr64, ctypes.c_int64),
+            _as_ptr(indices32, ctypes.c_int32),
+            _as_ptr(probs32, ctypes.c_float),
+            _as_ptr(sub_indptr, ctypes.c_int64),
+            _as_ptr(sub_indices, ctypes.c_int32),
+            _as_ptr(sub_probs, ctypes.c_float),
+        )
+        if rc == 0:
+            return sub_indptr, sub_indices, sub_probs
+    # numpy fallback
+    spans = [indices[indptr64[n] : indptr64[n + 1]] for n in cache_nids]
+    sub_indices = (
+        np.concatenate(spans).astype(np.int32) if spans else np.empty(0, dtype=np.int32)
+    )
+    sub_probs = None
+    if probs is not None:
+        pspans = [probs[indptr64[n] : indptr64[n + 1]] for n in cache_nids]
+        sub_probs = (
+            np.concatenate(pspans).astype(np.float32)
+            if pspans
+            else np.empty(0, dtype=np.float32)
+        )
+    return sub_indptr, sub_indices, sub_probs

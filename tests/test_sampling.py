@@ -1,0 +1,157 @@
+"""Sampler correctness: golden semantics + statistical distribution tests.
+
+Statistical tolerance policy: empirical inclusion frequencies over T trials
+are compared against expectation with ~4.5-sigma binomial bounds, so flakes
+are < 1e-5 per assertion and real bias (the reference-parity property) is
+caught.  The reference only eyeballed prints (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dist_gnn_tpu.graph import INVALID_ID, HostGraph
+from dist_gnn_tpu.ops.sampling import sample_biased, sample_uniform
+
+
+def make_graph(indptr, indices, probs=None):
+    return HostGraph(
+        indptr=np.asarray(indptr),
+        indices=np.asarray(indices, dtype=np.int32),
+        probs=None if probs is None else np.asarray(probs, dtype=np.float32),
+    ).to_device()
+
+
+def binom_bound(p, n, sigmas=4.5):
+    return sigmas * np.sqrt(max(p * (1 - p), 1e-12) / n)
+
+
+class TestUniform:
+    def test_low_degree_takes_all(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        seeds = jnp.array([0, 1, 2], dtype=jnp.int32)
+        out = sample_uniform(g, seeds, k=10, replace=False, key=jax.random.key(0))
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        # node 0 has neighbors 1,2,3,4; node 1 has [5]; node 2 none
+        assert set(ids[0][mask[0]]) == {1, 2, 3, 4}
+        assert mask[0].sum() == 4
+        assert list(ids[1][mask[1]]) == [5]
+        assert mask[2].sum() == 0
+        assert (ids[~mask.astype(bool)] == INVALID_ID).all()
+
+    def test_padded_seed_masked(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        seeds = jnp.array([0, INVALID_ID], dtype=jnp.int32)
+        out = sample_uniform(g, seeds, k=3, replace=False, key=jax.random.key(1))
+        assert np.asarray(out.mask)[1].sum() == 0
+
+    def test_without_replacement_distinct(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        seeds = jnp.zeros((64,), jnp.int32) + 5  # node 5: neighbors 6..10 (deg 5)
+        for t in range(8):
+            out = sample_uniform(g, seeds, k=3, replace=False, key=jax.random.key(t))
+            ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+            assert mask.all()
+            for row in ids:
+                assert len(set(row)) == 3, row
+                assert set(row) <= set(range(6, 11))
+
+    def test_without_replacement_uniform_marginals(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        T = 4000
+        seeds = jnp.zeros((T,), jnp.int32) + 5  # degree 5
+        k = 2
+        out = sample_uniform(g, seeds, k=k, replace=False, key=jax.random.key(7))
+        ids = np.asarray(out.ids)
+        # NOTE: rows share one key draw per call but row_keys are iid per row.
+        p = k / 5.0
+        for nbr in range(6, 11):
+            freq = (ids == nbr).any(axis=1).mean()
+            assert abs(freq - p) < binom_bound(p, T) + 0.01, (nbr, freq)
+
+    def test_with_replacement_marginals(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        T = 4000
+        seeds = jnp.zeros((T,), jnp.int32)  # node 0, deg 4
+        k = 8
+        out = sample_uniform(g, seeds, k=k, replace=True, key=jax.random.key(3))
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask.all()
+        counts = np.bincount(ids.ravel(), minlength=5)[1:5]
+        p = 1 / 4.0
+        freqs = counts / (T * k)
+        np.testing.assert_allclose(freqs, p, atol=binom_bound(p, T * k) + 0.005)
+
+    def test_zero_degree_row(self, tiny_csc):
+        g = make_graph(*tiny_csc)
+        seeds = jnp.array([3], dtype=jnp.int32)
+        for replace in (False, True):
+            out = sample_uniform(g, seeds, k=4, replace=replace, key=jax.random.key(0))
+            assert np.asarray(out.mask).sum() == 0
+
+
+class TestBiased:
+    @pytest.fixture
+    def weighted_graph(self):
+        # one row, 6 neighbors with heavily skewed weights
+        indptr = np.array([0, 6], dtype=np.int64)
+        indices = np.arange(6, dtype=np.int32) + 10
+        # weights sum 16
+        probs = np.array([8, 4, 1, 1, 1, 1], dtype=np.float32)
+        g = HostGraph(indptr=indptr, indices=indices, probs=probs)
+        # fake more nodes so neighbor ids are addressable
+        return make_graph(
+            np.concatenate([indptr, np.full(16, 6)]), indices, probs
+        )
+
+    def test_with_replacement_matches_weights(self, weighted_graph):
+        T, k = 3000, 4
+        seeds = jnp.zeros((T,), jnp.int32)
+        out = sample_biased(
+            weighted_graph, seeds, k=k, replace=True, key=jax.random.key(11), chunk=4
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask.all()
+        total = 16.0
+        for i, w in enumerate([8, 4, 1, 1, 1, 1]):
+            p = w / total
+            freq = (ids == 10 + i).mean()
+            assert abs(freq - p) < binom_bound(p, T * k) + 0.01, (i, freq, p)
+
+    def test_without_replacement_distinct_and_ordering(self, weighted_graph):
+        T, k = 2000, 3
+        seeds = jnp.zeros((T,), jnp.int32)
+        out = sample_biased(
+            weighted_graph, seeds, k=k, replace=False, key=jax.random.key(5), chunk=4
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask.all()
+        for row in ids:
+            assert len(set(row)) == k
+        # A-Res inclusion probabilities: heavier items appear more often.
+        incl = [(ids == 10 + i).any(axis=1).mean() for i in range(6)]
+        assert incl[0] > incl[1] > incl[2] - 0.03
+        assert incl[0] > 0.93  # weight-8 item is almost always in top-3 of 6
+        # numpy oracle for exact A-Res inclusion probability
+        rngen = np.random.default_rng(0)
+        w = np.array([8, 4, 1, 1, 1, 1], dtype=np.float64)
+        oracle = np.zeros(6)
+        O = 20000
+        for _ in range(O):
+            keys = rngen.random(6) ** (1 / w)
+            top = np.argsort(-keys)[:k]
+            oracle[top] += 1
+        oracle /= O
+        np.testing.assert_allclose(incl, oracle, atol=0.03)
+
+    def test_low_degree_takes_all(self):
+        indptr = np.array([0, 2, 2], dtype=np.int64)
+        indices = np.array([1, 0], dtype=np.int32)
+        probs = np.array([1.0, 3.0], dtype=np.float32)
+        g = make_graph(indptr, indices, probs)
+        out = sample_biased(g, jnp.array([0], jnp.int32), k=5, replace=False,
+                            key=jax.random.key(0), chunk=8)
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask[0].sum() == 2
+        assert set(ids[0][mask[0].astype(bool)]) == {0, 1}
