@@ -1,0 +1,99 @@
+"""GAT aggregation over static padded blocks (SDDMM + edge-softmax + SpMM).
+
+The reference has no GAT (models are DGL SAGEConv only) but the driver
+north star (BASELINE.json) asks for GAT/SDDMM attention as a first-class
+aggregator.  On the padded block format the three sparse kernels become
+dense masked ops that XLA fuses:
+
+    SDDMM:        e_ij = LeakyReLU(a_l . z_i  +  a_r . z_j),  z = h W
+    edge-softmax: alpha = masked softmax over each row's k slots
+    SpMM:         out_i = sum_j alpha_ij z_j     (multi-head)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from dist_gnn_tpu.models.sage import _glorot
+from dist_gnn_tpu.ops.spmm import masked_segment_softmax
+from dist_gnn_tpu.sampler import Block
+
+
+class GAT:
+    def __init__(
+        self,
+        in_feats: int,
+        n_hidden: int,
+        n_classes: int,
+        num_layers: int,
+        num_heads: int = 4,
+        dropout: float = 0.5,
+        negative_slope: float = 0.2,
+        param_dtype=jnp.float32,
+    ):
+        self.num_heads = num_heads
+        self.negative_slope = negative_slope
+        self.dropout = dropout
+        self.param_dtype = param_dtype
+        self.dims: List[tuple] = []
+        for l in range(num_layers):
+            d_in = in_feats if l == 0 else n_hidden * num_heads
+            last = l == num_layers - 1
+            d_out = n_classes if last else n_hidden
+            self.dims.append((d_in, d_out, last))
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        params = {}
+        H = self.num_heads
+        for l, (d_in, d_out, _) in enumerate(self.dims):
+            k1, k2, k3, key = jax.random.split(key, 4)
+            params[f"layer{l}"] = {
+                "w": _glorot(k1, (d_in, H * d_out), self.param_dtype),
+                "a_l": jax.random.normal(k2, (H, d_out), self.param_dtype) * 0.1,
+                "a_r": jax.random.normal(k3, (H, d_out), self.param_dtype) * 0.1,
+                "b": jnp.zeros((H * d_out,), self.param_dtype),
+            }
+        return params
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        blocks: Sequence[Block],
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ) -> jnp.ndarray:
+        H = self.num_heads
+        h = x
+        for l, block in enumerate(blocks):
+            d_in, d_out, last = self.dims[l]
+            p = params[f"layer{l}"]
+            z = jnp.dot(h, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+            z = z.reshape(z.shape[0], H, d_out)  # [cap_src, H, d_out]
+            z_dst = z[: block.num_dst]
+            # SDDMM: per-edge unnormalised scores on the sampled block
+            el = jnp.einsum("shd,hd->sh", z_dst, p["a_l"])  # [S, H]
+            er = jnp.einsum("shd,hd->sh", z, p["a_r"])  # [cap_src, H]
+            er_n = er[block.neigh_slots]  # [S, k, H]
+            scores = jax.nn.leaky_relu(
+                el[:, None, :] + er_n, self.negative_slope
+            )
+            alpha = masked_segment_softmax(scores, block.neigh_mask)  # [S, k, H]
+            z_n = z[block.neigh_slots]  # [S, k, H, d_out]
+            out = jnp.sum(z_n * alpha[..., None], axis=1)  # [S, H, d_out]
+            if last:
+                h = jnp.mean(out, axis=1) + p["b"].reshape(H, d_out).mean(0)
+            else:
+                h = out.reshape(out.shape[0], H * d_out) + p["b"]
+                h = jax.nn.elu(h)
+                if train and self.dropout > 0:
+                    assert rng is not None
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
+                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+            h = h.astype(x.dtype)
+        return h

@@ -1,0 +1,92 @@
+"""GraphSAGE (mean aggregator) over static padded blocks.
+
+Capability parity with the reference's DGL stack
+(``example/graphsage/utils/models.py:25-55``: SAGEConv(in, out, 'mean')
+layers, ReLU + dropout(0.5) between layers, hidden 256), re-implemented as
+a functional JAX model so the whole step jits/pjits cleanly:
+
+    h_dst = h_src[:S]                      (seeds-first frontier invariant)
+    out   = h_dst @ W_self + mean_valid(neigh) @ W_neigh + b
+
+which matches DGL SAGEConv 'mean' (fc_self + fc_neigh, single bias).
+Weights are bf16-castable; matmuls carry ``preferred_element_type=float32``
+so the MXU accumulates in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from dist_gnn_tpu.ops.spmm import gather_mean
+from dist_gnn_tpu.sampler import Block
+
+
+def _glorot(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+class SAGE:
+    def __init__(
+        self,
+        in_feats: int,
+        n_hidden: int,
+        n_classes: int,
+        num_layers: int,
+        dropout: float = 0.5,
+        param_dtype=jnp.float32,
+    ):
+        self.dims: List[tuple] = []
+        for l in range(num_layers):
+            d_in = in_feats if l == 0 else n_hidden
+            d_out = n_classes if l == num_layers - 1 else n_hidden
+            self.dims.append((d_in, d_out))
+        self.dropout = dropout
+        self.param_dtype = param_dtype
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        params = {}
+        for l, (d_in, d_out) in enumerate(self.dims):
+            k1, k2, key = jax.random.split(key, 3)
+            params[f"layer{l}"] = {
+                "w_self": _glorot(k1, (d_in, d_out), self.param_dtype),
+                "w_neigh": _glorot(k2, (d_in, d_out), self.param_dtype),
+                "b": jnp.zeros((d_out,), self.param_dtype),
+            }
+        return params
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        blocks: Sequence[Block],
+        x: jnp.ndarray,  # [cap_deepest_frontier, in_feats]
+        *,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ) -> jnp.ndarray:
+        """blocks must be ordered *input-first* (deepest layer first), i.e.
+        ``reversed(sampler output)``; x are features of blocks[0]'s frontier.
+        Returns logits for blocks[-1]'s seeds (the mini-batch)."""
+        assert len(blocks) == len(self.dims)
+        h = x
+        for l, block in enumerate(blocks):
+            p = params[f"layer{l}"]
+            h_dst = h[: block.num_dst]
+            h_mean = gather_mean(h, block.neigh_slots, block.neigh_mask)
+            h = (
+                jnp.dot(h_dst, p["w_self"], preferred_element_type=jnp.float32)
+                + jnp.dot(h_mean, p["w_neigh"], preferred_element_type=jnp.float32)
+                + p["b"]
+            ).astype(x.dtype)
+            if l != len(self.dims) - 1:
+                h = jax.nn.relu(h)
+                if train and self.dropout > 0:
+                    assert rng is not None
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
+                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+        return h

@@ -1,0 +1,66 @@
+"""Block aggregation ops ("SpMM" over sampled blocks).
+
+In the reference, neighborhood aggregation is delegated to DGL's SAGEConv
+SpMM over nnz-sized COO blocks (SURVEY.md §2 Models).  In the TPU design a
+block is a dense padded ``[S, k]`` slot table into the frontier feature
+matrix, so aggregation = gather + masked reduction — a shape XLA fuses well;
+the Pallas fused gather-aggregate kernel (ops/gather_pallas.py) removes the
+[S, k, F] materialisation for large F.
+
+These jnp versions are the reference implementations and the CPU/test path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather_mean(
+    h_src: jnp.ndarray,  # [cap_src, F]
+    slots: jnp.ndarray,  # [S, k] int32 positions into h_src
+    mask: jnp.ndarray,  # [S, k] bool
+) -> jnp.ndarray:
+    """Masked mean of neighbor features per destination row: [S, F].
+
+    Zero-neighbor rows produce zeros (DGL SAGEConv 'mean' semantics on an
+    empty neighborhood).
+    """
+    g = h_src[slots]  # [S, k, F]
+    m = mask[..., None].astype(h_src.dtype)
+    s = jnp.sum(g * m, axis=1)
+    cnt = jnp.sum(mask, axis=1, dtype=h_src.dtype)[:, None]
+    return s / jnp.maximum(cnt, 1)
+
+
+def gather_sum(h_src, slots, mask) -> jnp.ndarray:
+    g = h_src[slots]
+    return jnp.sum(g * mask[..., None].astype(h_src.dtype), axis=1)
+
+
+def gather_weighted_sum(
+    h_src: jnp.ndarray,  # [cap_src, H, F] or [cap_src, F]
+    slots: jnp.ndarray,  # [S, k]
+    weights: jnp.ndarray,  # [S, k] or [S, k, H] (already masked/normalised)
+) -> jnp.ndarray:
+    """sum_j w_ij * h_src[slot_ij] — the SpMM half of attention."""
+    g = h_src[slots]  # [S, k, ...]
+    if g.ndim == 4:  # multi-head: [S, k, H, F] * [S, k, H, 1]
+        return jnp.sum(g * weights[..., None], axis=1)
+    return jnp.sum(g * weights[..., None], axis=1)
+
+
+def masked_segment_softmax(
+    scores: jnp.ndarray,  # [S, k] or [S, k, H]
+    mask: jnp.ndarray,  # [S, k]
+) -> jnp.ndarray:
+    """Softmax over each row's valid neighbor slots (edge-softmax analog)."""
+    if scores.ndim == 3:
+        m = mask[..., None]
+    else:
+        m = mask
+    neg = jnp.finfo(scores.dtype).min
+    s = jnp.where(m, scores, neg)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s) * m.astype(scores.dtype)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.maximum(denom, jnp.finfo(scores.dtype).tiny)

@@ -1,0 +1,134 @@
+"""End-to-end mini-batch trainer.
+
+The reference has no trainer class — its training loop lives in the example
+scripts (``example/graphsage/node_classification.py:213-250``) with
+sampling, feature loading, and the DDP model stitched together by host
+code and cuda synchronizations between the phases.
+
+TPU-first redesign: **the entire step — sample all layers, gather
+features + labels, forward, backward, Adam update — is one jitted
+function.**  No host round-trips, no per-phase syncs; XLA overlaps the
+gather DMA with compute and there is nothing equivalent to the reference's
+per-layer nnz readbacks.  Optimizer parity: Adam lr 1e-3, weight decay
+5e-4 (``node_classification.py:66``) — weight decay is applied as the
+torch.optim.Adam coupled L2 term (gradient += wd * param), not AdamW.
+
+Data parallelism: the step function is sharding-agnostic — under a mesh,
+shard the seeds batch axis and replicate params; jit inserts the gradient
+psum (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dist_gnn_tpu.graph import Graph, INVALID_ID
+from dist_gnn_tpu.sampler import sample_blocks
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(eq=False)  # identity hash → usable as a jit static arg
+class Trainer:
+    model: Any  # SAGE/GAT-like: .init(key), .apply(params, blocks, x, ...)
+    fan_out: Tuple[int, ...]
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    replace: bool = False
+
+    def __post_init__(self):
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.adam(self.lr),
+        )
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        params = self.model.init(key)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
+        logits = self.model.apply(
+            params, tuple(reversed(blocks)), feats, train=True, rng=rng
+        )
+        labels = jnp.where(seed_mask, labels, 0)
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+        nll = jnp.where(seed_mask, nll, 0.0)
+        n = jnp.maximum(jnp.sum(seed_mask.astype(jnp.float32)), 1.0)
+        loss = jnp.sum(nll) / n
+        correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
+        acc = jnp.sum(correct.astype(jnp.float32)) / n
+        return loss, acc
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(
+        self,
+        state: TrainState,
+        graph: Graph,
+        features: jnp.ndarray,  # [N, F] HBM store
+        labels: jnp.ndarray,  # [N] int32
+        seeds: jnp.ndarray,  # [B]
+        seed_mask: jnp.ndarray,  # [B]
+        key: jax.Array,
+    ):
+        """Fused sample+load+train step (single store in HBM)."""
+        k_sample, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
+        blocks = sample_blocks(
+            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+        )
+        input_nodes = blocks[-1].frontier
+        in_mask = blocks[-1].frontier_mask
+        safe = jnp.where(in_mask, input_nodes, 0)
+        feats = jnp.where(in_mask[:, None], features[safe], 0)
+        batch_labels = jnp.where(seed_mask, labels[jnp.where(seed_mask, seeds, 0)], 0)
+
+        (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, blocks, feats, batch_labels, seed_mask, k_drop
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def eval_step(
+        self,
+        params,
+        graph: Graph,
+        features: jnp.ndarray,
+        labels: jnp.ndarray,
+        seeds: jnp.ndarray,
+        seed_mask: jnp.ndarray,
+        key: jax.Array,
+    ):
+        blocks = sample_blocks(
+            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key
+        )
+        input_nodes = blocks[-1].frontier
+        in_mask = blocks[-1].frontier_mask
+        safe = jnp.where(in_mask, input_nodes, 0)
+        feats = jnp.where(in_mask[:, None], features[safe], 0)
+        logits = self.model.apply(params, tuple(reversed(blocks)), feats, train=False)
+        batch_labels = jnp.where(seed_mask, labels[jnp.where(seed_mask, seeds, 0)], 0)
+        correct = (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32) == batch_labels
+        ) & seed_mask
+        return jnp.sum(correct.astype(jnp.int32)), jnp.sum(seed_mask.astype(jnp.int32))

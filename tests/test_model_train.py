@@ -1,0 +1,125 @@
+"""Model layer correctness vs numpy oracle + end-to-end training smoke.
+
+Accuracy-parity protocol from SURVEY.md §7: per-layer allclose against a
+numpy SAGEConv-mean oracle on injected fixed blocks, then end-to-end
+accuracy lift on a learnable synthetic dataset.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.dataloading import SeedGenerator
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import INVALID_ID, HostGraph
+from dist_gnn_tpu.models import GAT, SAGE
+from dist_gnn_tpu.ops.hashtable import SortedIdTable
+from dist_gnn_tpu.sampler import Block
+from dist_gnn_tpu.training import Trainer
+
+
+def make_block(S, k, cap_src, seed=0, full=True):
+    rng = np.random.default_rng(seed)
+    seeds = np.arange(S, dtype=np.int32)
+    slots = rng.integers(0, cap_src, (S, k)).astype(np.int32)
+    mask = rng.random((S, k)) < (1.0 if full else 0.7)
+    return Block(
+        seeds=jnp.asarray(seeds),
+        seed_mask=jnp.ones(S, bool),
+        frontier=jnp.arange(cap_src, dtype=jnp.int32),
+        frontier_mask=jnp.ones(cap_src, bool),
+        num_frontier=jnp.int32(cap_src),
+        neigh_slots=jnp.asarray(slots),
+        neigh_mask=jnp.asarray(mask),
+    )
+
+
+def oracle_sage_layer(x, slots, mask, w_self, w_neigh, b, S):
+    h_dst = x[:S]
+    agg = np.zeros((S, x.shape[1]))
+    for i in range(S):
+        sel = slots[i][mask[i]]
+        if len(sel):
+            agg[i] = x[sel].mean(axis=0)
+    return h_dst @ w_self + agg @ w_neigh + b
+
+
+def test_sage_layer_matches_oracle():
+    S, k, cap, F = 8, 4, 20, 6
+    block = make_block(S, k, cap, full=False)
+    x = np.random.default_rng(1).standard_normal((cap, F)).astype(np.float32)
+    model = SAGE(in_feats=F, n_hidden=5, n_classes=3, num_layers=1, dropout=0.0)
+    params = model.init(jax.random.key(0))
+    out = model.apply(params, [block], jnp.asarray(x), train=False)
+    p = params["layer0"]
+    ref = oracle_sage_layer(
+        x,
+        np.asarray(block.neigh_slots),
+        np.asarray(block.neigh_mask),
+        np.asarray(p["w_self"]),
+        np.asarray(p["w_neigh"]),
+        np.asarray(p["b"]),
+        S,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gat_layer_attention_sums_to_one():
+    S, k, cap, F = 6, 5, 15, 8
+    block = make_block(S, k, cap, seed=3, full=False)
+    model = GAT(in_feats=F, n_hidden=4, n_classes=3, num_layers=1, num_heads=2)
+    params = model.init(jax.random.key(1))
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((cap, F)), jnp.float32)
+    out = model.apply(params, [block], x, train=False)
+    assert out.shape == (S, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sorted_id_table_roundtrip():
+    ids = np.array([5, 1, 9, 1, 3], dtype=np.int32)
+    prio = np.array([1, 0, 0, 1, 0], dtype=np.int32)
+    t = SortedIdTable.build(ids, owners=np.array([0, 1, 2, 3, 4]), priority=prio)
+    slots, owners, hit = t.lookup_owner(jnp.asarray([1, 9, 7], jnp.int32))
+    assert list(np.asarray(hit)) == [True, True, False]
+    assert np.asarray(slots)[0] == 1  # priority-0 copy of id 1 wins (slot 1)
+    assert np.asarray(owners)[1] == 2
+
+
+def test_end_to_end_training_learns():
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=2000,
+        avg_degree=10,
+        feature_dim=16,
+        num_classes=4,
+        train_frac=0.3,
+        seed=0,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = SAGE(meta["feature_dim"], 32, meta["num_classes"], 2, dropout=0.1)
+    trainer = Trainer(model=model, fan_out=(5, 5))
+    state = trainer.init_state(jax.random.key(0))
+    gen = SeedGenerator(arrays["train_idx"], 128, shuffle=True)
+    first_loss = last_loss = None
+    for epoch in range(10):
+        for seeds, mask in gen.epoch(jax.random.key(10 + epoch)):
+            state, m = trainer.train_step(
+                state, graph, features, labels, seeds, mask, jax.random.key(epoch)
+            )
+            if first_loss is None:
+                first_loss = float(m["loss"])
+            last_loss = float(m["loss"])
+    assert last_loss < first_loss * 0.7, (first_loss, last_loss)
+    # eval accuracy well above chance (0.25)
+    correct = total = 0
+    vgen = SeedGenerator(arrays["valid_idx"], 128)
+    for seeds, mask in vgen.epoch(jax.random.key(1)):
+        c, t = trainer.eval_step(
+            state.params, graph, features, labels, seeds, mask, jax.random.key(2)
+        )
+        correct += int(c)
+        total += int(t)
+    acc = correct / total
+    assert acc > 0.5, acc
