@@ -1,0 +1,82 @@
+// Native host runtime for dist_gnn_tpu: fast graph construction and
+// extraction on the CPU side of the pipeline.
+//
+// TPU-native counterpart of the reference's host/device C++ runtime:
+//  - dg_build_csc       replaces the scipy coo->csr preprocessing
+//                       (reference python/DistGNN/dataloading/
+//                       dataset_preprocess.py:37-45) with an OpenMP
+//                       two-pass counting sort.
+//  - dg_extract_subcsc  replaces ExtractIndptr/ExtractEdgeData
+//                       (reference src/sampling/cuda/utils.cu:12-101):
+//                       compacts the adjacency rows of a cached node set.
+//
+// Exposed with plain C linkage and driven from Python via ctypes
+// (dist_gnn_tpu/utils/native.py). Build: make -C csrc
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Build CSC (row = dst) from an edge list. out_indptr must be zeroed,
+// length num_nodes+1. Returns 0 on success.
+int dg_build_csc(int64_t num_edges, int64_t num_nodes, const int32_t* dst,
+                 const int32_t* src, const float* probs, int64_t* out_indptr,
+                 int32_t* out_indices, float* out_probs) {
+  if (num_nodes <= 0) return 1;
+  // pass 1: degree count
+  {
+    std::atomic<int64_t>* counts =
+        reinterpret_cast<std::atomic<int64_t>*>(out_indptr + 1);
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < num_edges; ++e) {
+      int32_t d = dst[e];
+      if (d < 0 || d >= num_nodes) continue;
+      counts[d].fetch_add(1, std::memory_order_relaxed);
+    }
+  }
+  // exclusive scan
+  for (int64_t i = 0; i < num_nodes; ++i) out_indptr[i + 1] += out_indptr[i];
+  // pass 2: scatter (per-row running cursor)
+  int64_t* cursor = new int64_t[num_nodes];
+  std::memcpy(cursor, out_indptr, sizeof(int64_t) * num_nodes);
+  {
+    std::atomic<int64_t>* cur = reinterpret_cast<std::atomic<int64_t>*>(cursor);
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < num_edges; ++e) {
+      int32_t d = dst[e];
+      if (d < 0 || d >= num_nodes) continue;
+      int64_t pos = cur[d].fetch_add(1, std::memory_order_relaxed);
+      out_indices[pos] = src[e];
+      if (probs && out_probs) out_probs[pos] = probs[e];
+    }
+  }
+  delete[] cursor;
+  return 0;
+}
+
+// Compact the adjacency rows of cache_nids into a sub-CSR.
+// sub_indptr (length num_cached+1) must already hold the exclusive scan of
+// the cached nodes' degrees (computed cheaply in numpy).
+int dg_extract_subcsc(int64_t num_cached, const int32_t* cache_nids,
+                      const int64_t* indptr, const int32_t* indices,
+                      const float* probs, const int64_t* sub_indptr,
+                      int32_t* sub_indices, float* sub_probs) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < num_cached; ++i) {
+    int64_t lo = indptr[cache_nids[i]];
+    int64_t hi = indptr[cache_nids[i] + 1];
+    int64_t out = sub_indptr[i];
+    std::memcpy(sub_indices + out, indices + lo, sizeof(int32_t) * (hi - lo));
+    if (probs && sub_probs)
+      std::memcpy(sub_probs + out, probs + lo, sizeof(float) * (hi - lo));
+  }
+  return 0;
+}
+
+}  // extern "C"

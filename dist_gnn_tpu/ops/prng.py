@@ -25,7 +25,10 @@ import jax.numpy as jnp
 # after 24 steps is <= (3/4)**24 ~ 1e-3; misses fall back to `y % d`.
 _WALK_STEPS = 24
 _FEISTEL_ROUNDS = 4
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# NOTE: plain int, not jnp.uint32(...) — creating an array at import
+# time initializes the JAX backend before callers can pick a platform
+# (this environment's default backend is a tunneled TPU).
+_GOLDEN = 0x9E3779B9
 
 
 def mix32(x: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +45,7 @@ def mix32(x: jnp.ndarray) -> jnp.ndarray:
 def hash_combine(a: jnp.ndarray, b) -> jnp.ndarray:
     """Order-sensitive combiner: mix(a ^ (mix(b) + golden))."""
     b = jnp.asarray(b, dtype=jnp.uint32)
-    return mix32(a.astype(jnp.uint32) ^ (mix32(b) + _GOLDEN))
+    return mix32(a.astype(jnp.uint32) ^ (mix32(b) + jnp.uint32(_GOLDEN)))
 
 
 def random_keys(key: jax.Array, shape) -> jnp.ndarray:
@@ -75,7 +78,10 @@ def _feistel(x: jnp.ndarray, half_bits: jnp.ndarray, row_key: jnp.ndarray) -> jn
     lo = x & mask
     hi = (x >> half_bits) & mask
     for r in range(_FEISTEL_ROUNDS):
-        f = mix32(lo * _GOLDEN ^ (row_key + jnp.uint32((r * 0x7F4A7C15) & 0xFFFFFFFF)))
+        f = mix32(
+            lo * jnp.uint32(_GOLDEN)
+            ^ (row_key + jnp.uint32((r * 0x7F4A7C15) & 0xFFFFFFFF))
+        )
         hi, lo = lo, hi ^ (f & mask)
     return (hi << half_bits) | lo
 

@@ -1,0 +1,167 @@
+"""Sharded feature store with owner-bucketed all-to-all row exchange.
+
+This is the TPU replacement for the reference's core data plane — the
+``TensorP2PServer`` peer-pointer store whose device-side ``At(device_id,
+index)`` dereferences another GPU's HBM inside a kernel
+(``src/cache/tensor_p2p_cache.h:11-73``).  TPUs cannot dereference a peer
+chip's memory, so the per-element pull becomes a *batched exchange*:
+
+  1. each chip buckets the node ids it needs by owner shard
+     (owner = nid // shard_size — no hashmap needed for the base store),
+  2. a fixed-budget ``all_to_all`` ships request ids to owners over ICI,
+  3. owners gather rows from their local HBM shard,
+  4. a second ``all_to_all`` ships rows back, and an inverse permutation
+     restores request order.
+
+Everything is static-shape: per-peer budget ``P`` with an overflow counter
+(requests beyond P are dropped and reported — size P so that overflow is
+impossible when ``P == len(ids)``, or rely on the uniform spread of ids for
+tighter budgets; see ``request_budget``).
+
+Runs inside ``shard_map`` (see trainer_dist.py) so the exchange fuses into
+the surrounding per-chip step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dist_gnn_tpu.graph import INVALID_ID
+
+
+def shard_rows(num_rows: int, num_shards: int) -> int:
+    """Rows per shard (ceil) — owner = nid // shard_size."""
+    return -(-num_rows // num_shards)
+
+
+def request_budget(num_ids: int, num_shards: int, slack: float = 2.0) -> int:
+    """Per-peer request budget.  Ids of a sampled frontier are spread across
+    shards roughly uniformly; slack 2.0 makes overflow astronomically rare
+    while keeping the exchange volume ~2x the ideal ragged size.  Set
+    ``slack * num_shards >= num_ids`` for a provably lossless exchange."""
+    return min(num_ids, max(1, int(-(-num_ids // num_shards) * slack)))
+
+
+def exchange_gather(
+    local_shard: jnp.ndarray,  # [shard_size, F] — this chip's row range
+    ids: jnp.ndarray,  # [L] global ids needed here (INVALID padded)
+    mask: jnp.ndarray,  # [L]
+    axis_name: str,
+    shard_size: int,
+    budget: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chip body (call inside shard_map): returns ([L, F] rows,
+    overflow_count).  Rows for masked-out / overflowed ids are zeros."""
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    L = ids.shape[0]
+    Pb = budget if budget is not None else request_budget(L, n)
+    F = local_shard.shape[1]
+
+    # masked ids get their own group (owner == n) so they never consume a
+    # real peer's rank budget
+    owner = jnp.where(mask, jnp.clip(ids // shard_size, 0, n - 1), n)
+    order = jnp.argsort(owner, stable=True)
+    s_owner = owner[order]
+    s_ids = jnp.where(mask[order], ids[order], INVALID_ID)
+    # rank within owner group
+    first_of_group = jnp.searchsorted(s_owner, s_owner, side="left")
+    r = jnp.arange(L, dtype=jnp.int32) - first_of_group.astype(jnp.int32)
+    in_budget = (r < Pb) & (s_ids != INVALID_ID) & (s_owner < n)
+    slot = jnp.where(in_budget, s_owner.astype(jnp.int32) * Pb + r, n * Pb)
+    req = (
+        jnp.full((n * Pb,), INVALID_ID, jnp.int32)
+        .at[slot]
+        .set(s_ids, mode="drop", unique_indices=True)
+        .reshape(n, Pb)
+    )
+    overflow = jnp.sum((~in_budget & (s_ids != INVALID_ID)).astype(jnp.int32))
+
+    # ship requests to owners
+    recv = jax.lax.all_to_all(req, axis_name, 0, 0, tiled=True)  # [n, Pb]
+    # serve from the local shard
+    base = me * shard_size
+    local_idx = recv - base
+    serve = (recv != INVALID_ID) & (local_idx >= 0) & (local_idx < local_shard.shape[0])
+    rows = jnp.where(
+        serve[..., None],
+        local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
+        0,
+    )  # [n, Pb, F]
+    # ship rows back to requesters
+    resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)  # [n, Pb, F]
+
+    flat = resp.reshape(n * Pb, F)
+    got_sorted = jnp.where(
+        in_budget[:, None], flat[jnp.clip(slot, 0, n * Pb - 1)], 0
+    )  # [L, F]
+    out = jnp.zeros((L, F), local_shard.dtype).at[order].set(got_sorted)
+    return out, overflow
+
+
+class ShardedFeatureStore:
+    """Feature matrix row-sharded over a mesh axis, fetched via
+    :func:`exchange_gather`.  Host-side container + device upload."""
+
+    def __init__(
+        self,
+        features: np.ndarray,
+        mesh,
+        axis_name: str = "data",
+        budget_slack: float = 2.0,
+    ):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.num_rows = features.shape[0]
+        n = mesh.shape[axis_name]
+        self.num_shards = n
+        self.shard_size = shard_rows(self.num_rows, n)
+        self.budget_slack = budget_slack
+        padded = self.shard_size * n
+        if padded != features.shape[0]:
+            pad = np.zeros((padded - features.shape[0], features.shape[1]), features.dtype)
+            features = np.concatenate([features, pad], axis=0)
+        spec = P(axis_name, None)
+        self.features = jax.device_put(features, NamedSharding(mesh, spec))
+        self.pspec = spec
+
+    @property
+    def feature_dim(self) -> int:
+        return self.features.shape[1]
+
+    def fetch_local(self, local_shard, ids, mask, budget=None):
+        """Call inside shard_map over ``self.axis_name``."""
+        return exchange_gather(
+            local_shard,
+            ids,
+            mask,
+            self.axis_name,
+            self.shard_size,
+            budget=budget,
+        )
+
+    def fetch(self, ids: jnp.ndarray, mask: jnp.ndarray):
+        """Standalone fetch (jit-able): ids/mask sharded or replicated
+        per-chip [L]; returns per-chip rows.  Mostly for tests — training
+        uses fetch_local inside the fused step."""
+        L = ids.shape[0]
+        budget = request_budget(L, self.num_shards, self.budget_slack)
+
+        def body(shard, ids_, mask_):
+            rows, overflow = exchange_gather(
+                shard, ids_, mask_, self.axis_name, self.shard_size, budget
+            )
+            return rows, jax.lax.psum(overflow, self.axis_name)
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(self.pspec, P(self.axis_name), P(self.axis_name)),
+            out_specs=(P(self.axis_name), P()),
+        )(self.features, ids, mask)

@@ -1,0 +1,153 @@
+"""Distributed trainer: per-chip sample→exchange→train pipeline in shard_map.
+
+Architecture parity with the reference (one SPMD worker per accelerator,
+``example/graphsage/node_classification.py:31-65``):
+
+  reference (per GPU)                    TPU (per chip, inside shard_map)
+  -------------------                    --------------------------------
+  local sampling on cached structure  →  local sampling on replicated CSC
+  P2P peer-pointer feature fetch      →  all-to-all exchange_gather from
+                                         the node-range-sharded HBM store
+  DDP gradient all-reduce             →  explicit lax.psum of grads
+  per-GPU seed partition              →  seeds batch axis sharded over mesh
+
+The entire step is ONE jitted shard_map: sampling, relabel, the two
+all-to-all hops, forward, backward, psum, Adam update — no host round
+trips.  Params/opt state are replicated (out of shard_map they stay a
+replicated pytree); the feature store is sharded by node range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from dist_gnn_tpu.graph import Graph
+from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore, request_budget
+from dist_gnn_tpu.sampler import sample_blocks
+from dist_gnn_tpu.training.trainer import TrainState
+
+
+@dataclasses.dataclass(eq=False)
+class DistTrainer:
+    model: Any
+    fan_out: Tuple[int, ...]
+    store: ShardedFeatureStore
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    replace: bool = False
+    axis_name: str = "data"
+
+    def __post_init__(self):
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.adam(self.lr),
+        )
+        self.mesh = self.store.mesh
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        params = self.model.init(key)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
+        logits = self.model.apply(
+            params, tuple(reversed(blocks)), feats, train=True, rng=rng
+        )
+        labels = jnp.where(seed_mask, labels, 0)
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+        nll = jnp.where(seed_mask, nll, 0.0)
+        # normalise by the GLOBAL valid count so the psum'd gradient equals
+        # the single-device gradient of the full batch
+        n_local = jnp.sum(seed_mask.astype(jnp.float32))
+        n_global = jax.lax.psum(n_local, self.axis_name)
+        loss_sum = jnp.sum(nll)
+        correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
+        acc_sum = jnp.sum(correct.astype(jnp.float32))
+        denom = jnp.maximum(n_global, 1.0)
+        return loss_sum / denom, (acc_sum, denom)
+
+    def _per_chip_step(self, state, graph, shard, labels_shard, seeds, seed_mask, key):
+        k_sample, k_drop = jax.random.split(
+            jax.random.fold_in(
+                jax.random.fold_in(key, state.step),
+                jax.lax.axis_index(self.axis_name),
+            )
+        )
+        blocks = sample_blocks(
+            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+        )
+        inp = blocks[-1]
+        L = inp.frontier.shape[0]
+        budget = request_budget(L, self.store.num_shards, self.store.budget_slack)
+        feats, overflow = self.store.fetch_local(
+            shard, inp.frontier, inp.frontier_mask, budget=budget
+        )
+        # labels live in the same node-range sharding (1-col store)
+        lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
+        lab = lab[:, 0].astype(jnp.int32)
+
+        (loss, (acc_sum, denom)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(state.params, blocks, feats, lab, seed_mask, k_drop)
+        loss = jax.lax.psum(loss, self.axis_name)
+        acc = jax.lax.psum(acc_sum, self.axis_name) / denom
+        grads = jax.lax.psum(grads, self.axis_name)
+        overflow = jax.lax.psum(overflow, self.axis_name)
+
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss, "acc": acc, "overflow": overflow}
+
+    def store_labels_fetch(self, labels_shard, seeds, seed_mask):
+        from dist_gnn_tpu.parallel.feature_store import exchange_gather
+
+        return exchange_gather(
+            labels_shard,
+            seeds,
+            seed_mask,
+            self.axis_name,
+            self.store.shard_size,
+            budget=request_budget(seeds.shape[0], self.store.num_shards, 2.0),
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state, graph: Graph, labels, seeds, seed_mask, key):
+        """seeds/seed_mask: global [world_batch] arrays sharded over the
+        mesh axis; labels: [padded_rows, 1] sharded by node range like the
+        feature store; graph replicated."""
+        ax = self.axis_name
+        graph_spec = jax.tree.map(lambda _: P(), graph)
+        return jax.shard_map(
+            self._per_chip_step,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), state),
+                graph_spec,
+                P(ax, None),  # feature shard
+                P(ax, None),  # labels shard
+                P(ax),  # seeds
+                P(ax),  # seed mask
+                P(),  # rng key
+            ),
+            out_specs=(
+                jax.tree.map(lambda _: P(), state),
+                {"loss": P(), "acc": P(), "overflow": P()},
+            ),
+            check_vma=False,
+        )(state, graph, self.store.features, labels, seeds, seed_mask, key)

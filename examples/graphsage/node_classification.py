@@ -35,7 +35,15 @@ def main():
     ap.add_argument("--bias", action="store_true", help="weighted sampling")
     ap.add_argument("--replace", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend (8 devices)"
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        from dist_gnn_tpu.utils.platform import force_cpu
+
+        force_cpu(8)
 
     import jax
     import jax.numpy as jnp
