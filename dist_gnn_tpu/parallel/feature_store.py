@@ -25,7 +25,7 @@ the surrounding per-chip step.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,21 +48,33 @@ def request_budget(num_ids: int, num_shards: int, slack: float = 2.0) -> int:
     return min(num_ids, max(1, int(-(-num_ids // num_shards) * slack)))
 
 
-def exchange_gather(
-    local_shard: jnp.ndarray,  # [shard_size, F] — this chip's row range
-    ids: jnp.ndarray,  # [L] global ids needed here (INVALID padded)
+class ExchangePlan(NamedTuple):
+    """Bookkeeping to map an all-to-all response back to request order."""
+
+    order: jnp.ndarray  # [L] permutation that sorted ids by owner
+    slot: jnp.ndarray  # [L] position in the flattened [n*P] request table
+    in_budget: jnp.ndarray  # [L] bool
+    budget: int
+    num_peers: int
+
+
+def make_request(
+    ids: jnp.ndarray,  # [L] global ids needed on this chip (INVALID padded)
     mask: jnp.ndarray,  # [L]
     axis_name: str,
     shard_size: int,
-    budget: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-chip body (call inside shard_map): returns ([L, F] rows,
-    overflow_count).  Rows for masked-out / overflowed ids are zeros."""
+    budget: int,
+) -> Tuple[ExchangePlan, jnp.ndarray, jnp.ndarray]:
+    """Bucket ids by owner and all-to-all the request table.
+
+    Returns (plan, recv[n, P] — the ids peers want from *this* chip,
+    overflow count).  The request/serve/response split lets callers decide
+    what the owner computes per requested row (a feature gather, a neighbor
+    sample, ...) before calling :func:`return_response`.
+    """
     n = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
     L = ids.shape[0]
-    Pb = budget if budget is not None else request_budget(L, n)
-    F = local_shard.shape[1]
+    Pb = budget
 
     # masked ids get their own group (owner == n) so they never consume a
     # real peer's rank budget
@@ -82,9 +94,51 @@ def exchange_gather(
         .reshape(n, Pb)
     )
     overflow = jnp.sum((~in_budget & (s_ids != INVALID_ID)).astype(jnp.int32))
-
-    # ship requests to owners
     recv = jax.lax.all_to_all(req, axis_name, 0, 0, tiled=True)  # [n, Pb]
+    plan = ExchangePlan(
+        order=order, slot=slot, in_budget=in_budget, budget=Pb, num_peers=n
+    )
+    return plan, recv, overflow
+
+
+def return_response(
+    plan: ExchangePlan,
+    served: jnp.ndarray,  # [n, P, ...] — owner-computed payload per recv id
+    axis_name: str,
+    fill=0,
+):
+    """All-to-all the served payload back and restore request order.
+
+    Returns [L, ...]; masked / overflowed slots are ``fill``.
+    """
+    resp = jax.lax.all_to_all(served, axis_name, 0, 0, tiled=True)
+    n, Pb = resp.shape[0], resp.shape[1]
+    tail = resp.shape[2:]
+    flat = resp.reshape((n * Pb,) + tail)
+    idx = jnp.clip(plan.slot, 0, n * Pb - 1)
+    got_sorted = jnp.where(
+        plan.in_budget.reshape((-1,) + (1,) * len(tail)), flat[idx], fill
+    )
+    L = plan.order.shape[0]
+    out = jnp.full((L,) + tail, fill, served.dtype).at[plan.order].set(got_sorted)
+    return out
+
+
+def exchange_gather(
+    local_shard: jnp.ndarray,  # [shard_size, F] — this chip's row range
+    ids: jnp.ndarray,  # [L] global ids needed here (INVALID padded)
+    mask: jnp.ndarray,  # [L]
+    axis_name: str,
+    shard_size: int,
+    budget: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chip body (call inside shard_map): returns ([L, F] rows,
+    overflow_count).  Rows for masked-out / overflowed ids are zeros."""
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    Pb = budget if budget is not None else request_budget(ids.shape[0], n)
+
+    plan, recv, overflow = make_request(ids, mask, axis_name, shard_size, Pb)
     # serve from the local shard
     base = me * shard_size
     local_idx = recv - base
@@ -94,14 +148,7 @@ def exchange_gather(
         local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
         0,
     )  # [n, Pb, F]
-    # ship rows back to requesters
-    resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)  # [n, Pb, F]
-
-    flat = resp.reshape(n * Pb, F)
-    got_sorted = jnp.where(
-        in_budget[:, None], flat[jnp.clip(slot, 0, n * Pb - 1)], 0
-    )  # [L, F]
-    out = jnp.zeros((L, F), local_shard.dtype).at[order].set(got_sorted)
+    out = return_response(plan, rows, axis_name)
     return out, overflow
 
 

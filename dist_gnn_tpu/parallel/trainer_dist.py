@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,10 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from dist_gnn_tpu.graph import Graph
+from dist_gnn_tpu.ops.relabel import unique_and_relabel
 from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore, request_budget
-from dist_gnn_tpu.sampler import sample_blocks
+from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_sharded
+from dist_gnn_tpu.sampler import Block, sample_blocks
 from dist_gnn_tpu.training.trainer import TrainState
 
 
@@ -43,6 +45,9 @@ class DistTrainer:
     weight_decay: float = 5e-4
     replace: bool = False
     axis_name: str = "data"
+    # None → structure replicated per chip (fits-in-HBM case); a
+    # ShardedGraph → owner-side all-to-all sampling (papers100M-scale case)
+    sgraph: Optional[ShardedGraph] = None
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -77,6 +82,45 @@ class DistTrainer:
         denom = jnp.maximum(n_global, 1.0)
         return loss_sum / denom, (acc_sum, denom)
 
+    def _sample_blocks_sharded(
+        self, sgraph_blks, seeds, seed_mask, key
+    ) -> Tuple[Block, ...]:
+        """Per-layer owner-side sampling + local relabel (inside shard_map).
+
+        Mirrors sampler.sample_blocks but the neighbor fetch routes through
+        the all-to-all sharded structure instead of a local HBM gather.
+        """
+        indptr_blk, indices_blk, probs_blk = sgraph_blks
+        blocks = []
+        keys = jax.random.split(key, len(self.fan_out))
+        for i, k in enumerate(reversed(list(self.fan_out))):
+            nb, _ = sample_neighbors_sharded(
+                self.sgraph,
+                indptr_blk,
+                indices_blk,
+                probs_blk,
+                seeds,
+                seed_mask,
+                k,
+                self.replace,
+                keys[i],
+            )
+            rl = unique_and_relabel(seeds, nb.ids, nb.mask)
+            blocks.append(
+                Block(
+                    seeds=seeds,
+                    seed_mask=seed_mask,
+                    frontier=rl.frontier,
+                    frontier_mask=rl.frontier_mask,
+                    num_frontier=rl.num_frontier,
+                    neigh_slots=rl.neigh_slots,
+                    neigh_mask=nb.mask,
+                )
+            )
+            seeds = rl.frontier
+            seed_mask = rl.frontier_mask
+        return tuple(blocks)
+
     def _per_chip_step(self, state, graph, shard, labels_shard, seeds, seed_mask, key):
         k_sample, k_drop = jax.random.split(
             jax.random.fold_in(
@@ -84,9 +128,12 @@ class DistTrainer:
                 jax.lax.axis_index(self.axis_name),
             )
         )
-        blocks = sample_blocks(
-            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
-        )
+        if self.sgraph is not None:
+            blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
+        else:
+            blocks = sample_blocks(
+                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+            )
         inp = blocks[-1]
         L = inp.frontier.shape[0]
         budget = request_budget(L, self.store.num_shards, self.store.budget_slack)
@@ -127,12 +174,17 @@ class DistTrainer:
         )
 
     @partial(jax.jit, static_argnames=("self",))
-    def train_step(self, state, graph: Graph, labels, seeds, seed_mask, key):
+    def train_step(self, state, graph, labels, seeds, seed_mask, key):
         """seeds/seed_mask: global [world_batch] arrays sharded over the
         mesh axis; labels: [padded_rows, 1] sharded by node range like the
-        feature store; graph replicated."""
+        feature store; graph: a replicated Graph, or (when ``self.sgraph``
+        is set) the tuple (sgraph.indptr, sgraph.indices, sgraph.probs)
+        sharded over the mesh axis."""
         ax = self.axis_name
-        graph_spec = jax.tree.map(lambda _: P(), graph)
+        if self.sgraph is not None:
+            graph_spec = jax.tree.map(lambda _: P(ax, None), graph)
+        else:
+            graph_spec = jax.tree.map(lambda _: P(), graph)
         return jax.shard_map(
             self._per_chip_step,
             mesh=self.mesh,
