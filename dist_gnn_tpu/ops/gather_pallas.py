@@ -1,0 +1,147 @@
+"""Pallas TPU kernels: feature-row gather and fused gather-accumulate SpMM.
+
+The bandwidth-critical ops of the framework (the analog of the reference's
+``_IndexP2PCacheKernel`` feature gather, ``src/feature/cuda/
+feature_ops.cu:38-73``, and of DGL's SAGEConv SpMM):
+
+* :func:`gather_rows` — ``out[i] = table[idx[i]]`` as a scalar-prefetch
+  pipelined kernel: the grid index_map reads the row id from SMEM and the
+  Pallas pipeline double-buffers the HBM→VMEM row DMAs.
+* :func:`gather_mean` — fused neighbor-mean aggregation
+  ``out[i] = mean_j table[slots[i, j]]`` with an accumulating revisited
+  output block: no ``[S, k, F]`` intermediate ever exists in HBM, so HBM
+  traffic is 1x rows + 1x output instead of the 3x of gather-then-reduce.
+
+Constraints honoured (see pallas_guide.md):
+  * tables are viewed ``[N, 1, F]`` so the (1, 1, F) row block is legal
+    (last two dims equal the array's),
+  * F must be a multiple of 128 (callers pad),
+  * index arrays live in SMEM → calls are chunked to ``CHUNK_IDS`` ids.
+
+NOTE: explicit in-kernel ``make_async_copy`` does not compile in this
+environment (the remote-compile helper can't initialise libtpu for DMA
+kernels), so everything here uses the implicit grid pipeline instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# max ids per pallas_call — index arrays are scalar-prefetched into SMEM
+CHUNK_IDS = 32768
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gather_kernel(idx_ref, row_ref, o_ref):
+    o_ref[:] = row_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_rows_chunk(table3: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    L = idx.shape[0]
+    F = table3.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, 1, F), lambda i, idx_ref: (idx_ref[i], 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, F), lambda i, idx_ref: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, 1, F), table3.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(idx, table3)
+    return out[:, 0, :]
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` with a Pallas pipelined row gather.
+
+    table [N, F] (F % 128 == 0), idx [L] int32 in [0, N).  Out-of-range ids
+    must be pre-clipped by the caller (masking is the caller's business,
+    matching jnp.take semantics used elsewhere).
+    """
+    N, F = table.shape
+    assert F % 128 == 0, f"pad feature dim to 128 (got {F})"
+    table3 = table.reshape(N, 1, F)
+    L = idx.shape[0]
+    if L <= CHUNK_IDS:
+        return _gather_rows_chunk(table3, idx)
+    chunks = [
+        _gather_rows_chunk(table3, idx[i : i + CHUNK_IDS])
+        for i in range(0, L, CHUNK_IDS)
+    ]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def _gather_sum_kernel(k: int, slots_ref, row_ref, o_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += row_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _gather_sum_chunk(table3: jnp.ndarray, flat_slots: jnp.ndarray, k: int):
+    S = flat_slots.shape[0] // k
+    F = table3.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, F), lambda i, j, sref: (sref[i * k + j], 0, 0))
+        ],
+        out_specs=pl.BlockSpec((1, 1, F), lambda i, j, sref: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_sum_kernel, k),
+        out_shape=jax.ShapeDtypeStruct((S, 1, F), table3.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(flat_slots, table3)
+    return out[:, 0, :]
+
+
+def gather_mean(
+    h_src: jnp.ndarray,  # [cap_src, F], F % 128 == 0
+    slots: jnp.ndarray,  # [S, k] int32
+    mask: jnp.ndarray,  # [S, k] bool
+) -> jnp.ndarray:
+    """Fused masked neighbor mean (drop-in for ops.spmm.gather_mean).
+
+    Masked slots are redirected to a zero row appended at index cap_src, so
+    the kernel needs no mask; the mean divide happens outside (fused by XLA
+    into the consumer matmul).
+    """
+    cap, F = h_src.shape
+    assert F % 128 == 0, f"pad feature dim to 128 (got {F})"
+    S, k = slots.shape
+    table = jnp.concatenate([h_src, jnp.zeros((1, F), h_src.dtype)], axis=0)
+    table3 = table.reshape(cap + 1, 1, F)
+    safe_slots = jnp.where(mask, slots, cap).astype(jnp.int32).reshape(-1)
+
+    if S * k <= CHUNK_IDS:
+        sums = _gather_sum_chunk(table3, safe_slots, k)
+    else:
+        rows_per_chunk = max(1, CHUNK_IDS // k)
+        parts = [
+            _gather_sum_chunk(
+                table3, safe_slots[i * k : (i + rows_per_chunk) * k], k
+            )
+            for i in range(0, S, rows_per_chunk)
+        ]
+        sums = jnp.concatenate(parts, axis=0)
+    cnt = jnp.sum(mask, axis=1, dtype=h_src.dtype)[:, None]
+    return sums / jnp.maximum(cnt, 1)

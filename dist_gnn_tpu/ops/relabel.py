@@ -110,3 +110,72 @@ def unique_and_relabel(
         num_frontier=num_frontier,
         neigh_slots=jnp.where(neigh_mask, neigh_slots, 0),
     )
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def unique_and_relabel_dense(
+    seeds: jnp.ndarray,  # [S] int32, INVALID padded; assumed pairwise unique
+    neigh_ids: jnp.ndarray,  # [B, k]
+    neigh_mask: jnp.ndarray,  # [B, k]
+    num_nodes: int,
+) -> RelabeledFrontier:
+    """Sort-free unique+relabel via dense scatter/cumsum over [num_nodes].
+
+    Same contract as :func:`unique_and_relabel` (new ids are ordered by
+    ascending node id in the tail, identical to the sort variant), but
+    costs O(num_nodes + cap) bandwidth-bound passes instead of an
+    O(cap log cap) sort — the right trade whenever ``num_nodes`` is within
+    a small factor of the frontier capacity (XLA's int sort is many passes;
+    a cumsum over [N] is ~3).  Memory: two transient [N] i32 buffers.
+    """
+    S = seeds.shape[0]
+    B, k = neigh_ids.shape
+    cap = S + B * k
+
+    seeds_valid = seeds != INVALID_ID
+    flat_ids = neigh_ids.reshape(-1)
+    flat_mask = neigh_mask.reshape(-1)
+    safe_flat = jnp.where(flat_mask, flat_ids, 0)
+
+    # seed slot per node (INVALID marker where not a seed); padded seed
+    # entries scatter out of range and are dropped
+    seed_slot = jnp.full((num_nodes,), INVALID_ID, jnp.int32)
+    seed_scatter_to = jnp.where(seeds_valid, seeds, num_nodes)
+    seed_slot = seed_slot.at[seed_scatter_to].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )
+
+    # mark nodes referenced by valid neighbors that are not seeds
+    mark = jnp.zeros((num_nodes,), jnp.int32)
+    neigh_scatter_to = jnp.where(flat_mask, flat_ids, num_nodes)
+    mark = mark.at[neigh_scatter_to].set(1, mode="drop")
+    is_new = (mark == 1) & (seed_slot == INVALID_ID)
+
+    # rank of each new node (ascending node id), and its frontier slot
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    num_new = jnp.where(is_new.shape[0] > 0, rank[-1] + 1, 0)
+    new_slot = S + rank
+    node_slot = jnp.where(seed_slot != INVALID_ID, seed_slot, new_slot)
+
+    neigh_slots = jnp.where(flat_mask, node_slot[safe_flat], 0).reshape(B, k)
+
+    # frontier: seeds first (positionally), then new ids scattered at their slots
+    tail = jnp.full((cap,), INVALID_ID, jnp.int32)
+    ids_all = jnp.arange(num_nodes, dtype=jnp.int32)
+    tail_to = jnp.where(is_new, new_slot, cap)
+    tail = tail.at[tail_to].set(ids_all, mode="drop", unique_indices=True)
+    seed_region = jnp.concatenate(
+        [seeds, jnp.full((cap - S,), INVALID_ID, jnp.int32)]
+    )
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    frontier = jnp.where(pos < S, seed_region, tail)
+    frontier_mask = jnp.where(
+        pos < S, frontier != INVALID_ID, pos < S + num_new
+    )
+    num_frontier = jnp.sum(seeds_valid.astype(jnp.int32)) + num_new
+    return RelabeledFrontier(
+        frontier=frontier,
+        frontier_mask=frontier_mask,
+        num_frontier=num_frontier.astype(jnp.int32),
+        neigh_slots=neigh_slots,
+    )

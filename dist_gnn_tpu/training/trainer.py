@@ -45,6 +45,8 @@ class Trainer:
     lr: float = 1e-3
     weight_decay: float = 5e-4
     replace: bool = False
+    relabel_mode: str = "auto"
+    frontier_caps: Any = None  # Optional[Tuple[int, ...]], sampling order
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -88,7 +90,9 @@ class Trainer:
         """Fused sample+load+train step (single store in HBM)."""
         k_sample, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
         blocks = sample_blocks(
-            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
+            relabel_mode=self.relabel_mode,
+            frontier_caps=self.frontier_caps,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
@@ -120,7 +124,9 @@ class Trainer:
         key: jax.Array,
     ):
         blocks = sample_blocks(
-            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key
+            graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key,
+            relabel_mode=self.relabel_mode,
+            frontier_caps=self.frontier_caps,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask

@@ -1,0 +1,64 @@
+"""Measurement utilities that survive tunneled/remote TPU backends.
+
+On this environment's axon-tunneled TPU, ``jax.block_until_ready`` returns
+before the device has actually executed (it waits on the local handle, not
+the remote completion), which silently turns naive timers into
+dispatch-rate meters (we measured a "21,000 TFLOP/s matmul" before
+catching it).  The honest protocol:
+
+  * :func:`device_sync` — force completion with a tiny device→host
+    readback (a real data dependency end-to-end).
+  * :func:`measure_chain` — time a data-dependent chain of N steps at two
+    depths and take the slope, cancelling the tunnel round-trip latency.
+
+Validated: an 8192³ bf16 matmul measures 183 TFLOP/s with the slope
+method (v5e peak ≈ 197) vs a nonsensical 21,563 TFLOP/s with
+block_until_ready timing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+
+def device_sync(tree) -> None:
+    """Wait until device work producing ``tree`` has really finished."""
+    jax.block_until_ready(tree)
+    leaves = jax.tree.leaves(tree)
+    if not leaves:
+        return
+    leaf = leaves[0]
+    # readback of one element creates a true host-side dependency
+    np.asarray(jax.device_get(leaf if getattr(leaf, "ndim", 0) == 0 else leaf.reshape(-1)[0]))
+
+
+def measure_chain(
+    step: Callable,
+    init,
+    n_lo: int = 5,
+    n_hi: int = 25,
+    reps: int = 3,
+) -> float:
+    """Seconds per step of ``carry = step(carry)``, tunnel-RTT-corrected.
+
+    ``step`` must be data-dependent on its carry so the chain cannot be
+    reordered.  Returns the slope ((t_hi - t_lo) / (n_hi - n_lo)), taking
+    the min over ``reps`` trials of each depth.
+    """
+
+    def chain(n: int) -> float:
+        t0 = time.perf_counter()
+        carry = init
+        for _ in range(n):
+            carry = step(carry)
+        device_sync(carry)
+        return time.perf_counter() - t0
+
+    chain(2)  # warmup / compile
+    t_lo = min(chain(n_lo) for _ in range(reps))
+    t_hi = min(chain(n_hi) for _ in range(reps))
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)

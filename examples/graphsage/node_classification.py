@@ -1,15 +1,20 @@
-"""Mini-batch GraphSAGE node classification — the flagship example.
+"""Mini-batch GraphSAGE/GAT node classification — the flagship example.
 
 Counterpart of ``example/graphsage/node_classification.py`` in the
 reference, with argparse parity for the shared knobs (batch-size, fan-out,
-bias, cache-policy, epochs, hidden).  Differences by design: one process
-drives the whole mesh (SPMD), the train step is a single jitted function
-(sample + gather + train), and phase timing uses block_until_ready fences
-instead of cuda synchronize.
+bias, epochs, hidden) plus TPU-era additions (bf16, frontier caps,
+distributed mesh mode, checkpointing, structured metrics).
 
-Run (CPU correctness): JAX_PLATFORMS=cpu python node_classification.py \
-    --dataset synthetic --epochs 3
-Run (TPU):             python node_classification.py --dataset synthetic
+Differences by design: one process drives the whole mesh (SPMD), the train
+step is a single jitted function (sample + gather + train), and timing uses
+real completion fences (utils/timing.py) instead of cuda synchronize.
+
+Runs:
+  correctness (CPU):  python node_classification.py --cpu --epochs 3
+  single TPU chip:    python node_classification.py
+  whole mesh:         python node_classification.py --dist
+  weighted sampling:  python node_classification.py --bias
+  GAT aggregation:    python node_classification.py --model gat
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import time
 import numpy as np
 
 
-def main():
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="synthetic")
     ap.add_argument("--root", default="/tmp/dist_gnn_datasets")
@@ -30,16 +35,25 @@ def main():
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--fan-out", default="10,10")
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--num-layers", type=int, default=None)
     ap.add_argument("--model", default="sage", choices=["sage", "gat"])
     ap.add_argument("--bias", action="store_true", help="weighted sampling")
     ap.add_argument("--replace", action="store_true")
+    ap.add_argument("--bf16", action="store_true", help="bf16 features+compute")
+    ap.add_argument("--frontier-caps", default=None,
+                    help="comma budgets per hop (sampling order)")
+    ap.add_argument("--dist", action="store_true",
+                    help="shard over all devices (features+structure+DP)")
+    ap.add_argument("--checkpoint", default=None, help="save path prefix")
+    ap.add_argument("--resume", default=None, help="load path prefix")
+    ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument(
-        "--cpu", action="store_true", help="force the CPU backend (8 devices)"
-    )
-    args = ap.parse_args()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (8 devices)")
+    return ap.parse_args()
 
+
+def main():
+    args = parse_args()
     if args.cpu:
         from dist_gnn_tpu.utils.platform import force_cpu
 
@@ -53,10 +67,17 @@ def main():
     from dist_gnn_tpu.graph import HostGraph
     from dist_gnn_tpu.models import GAT, SAGE
     from dist_gnn_tpu.training import Trainer
+    from dist_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from dist_gnn_tpu.utils.metrics import MetricsLogger
+    from dist_gnn_tpu.utils.timing import device_sync
 
     fan_out = tuple(int(x) for x in args.fan_out.split(","))
-    num_layers = args.num_layers or len(fan_out)
-    assert num_layers == len(fan_out)
+    caps = (
+        tuple(int(x) for x in args.frontier_caps.split(","))
+        if args.frontier_caps
+        else None
+    )
+    log = MetricsLogger(path=args.metrics_log, stdout=False)
 
     if args.dataset == "synthetic":
         arrays, meta = make_synthetic_dataset(
@@ -73,23 +94,72 @@ def main():
         indices=np.asarray(arrays["indices"]),
         probs=np.asarray(arrays["probs"]) if args.bias and "probs" in arrays else None,
     )
-    graph = hg.to_device()
-    features = jnp.asarray(np.asarray(arrays["features"]))
-    labels = jnp.asarray(np.asarray(arrays["labels"], dtype=np.int32))
+    feat_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
     print(
         f"dataset={meta['name']} nodes={meta['num_nodes']} edges={meta['num_edges']} "
-        f"feat={meta['feature_dim']} classes={meta['num_classes']}"
+        f"feat={meta['feature_dim']} classes={meta['num_classes']} "
+        f"devices={len(jax.devices())} dist={args.dist}"
     )
 
     model_cls = SAGE if args.model == "sage" else GAT
+    kwargs = dict(compute_dtype=compute_dtype) if args.model == "sage" else {}
     model = model_cls(
         in_feats=meta["feature_dim"],
         n_hidden=args.hidden,
         n_classes=meta["num_classes"],
-        num_layers=num_layers,
+        num_layers=len(fan_out),
+        **kwargs,
     )
-    trainer = Trainer(model=model, fan_out=fan_out, replace=args.replace)
+
+    if args.dist:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dist_gnn_tpu.parallel import (
+            DistTrainer,
+            ShardedFeatureStore,
+            make_mesh,
+        )
+        from dist_gnn_tpu.parallel.graph_dist import ShardedGraph
+
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        sg = ShardedGraph.build(hg, mesh)
+        store = ShardedFeatureStore(
+            np.asarray(arrays["features"], dtype=feat_dtype), mesh
+        )
+        labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+        labels_padded[: meta["num_nodes"], 0] = np.asarray(arrays["labels"])
+        labels = jax.device_put(labels_padded, NamedSharding(mesh, P("data", None)))
+        trainer = DistTrainer(
+            model=model, fan_out=fan_out, store=store, sgraph=sg,
+            replace=args.replace,
+        )
+        graph_arg = (sg.indptr, sg.indices, sg.probs)
+        # round the global batch to the mesh
+        args.batch_size = max(n_dev, args.batch_size // n_dev * n_dev)
+        step_fn = lambda st, seeds, mask, key: trainer.train_step(
+            st, graph_arg, labels, seeds, mask, key
+        )
+        eval_fn = None  # dist eval via the same step's acc metric
+    else:
+        graph = hg.to_device()
+        features = jnp.asarray(np.asarray(arrays["features"])).astype(feat_dtype)
+        labels_1d = jnp.asarray(np.asarray(arrays["labels"], dtype=np.int32))
+        trainer = Trainer(
+            model=model, fan_out=fan_out, replace=args.replace, frontier_caps=caps
+        )
+        step_fn = lambda st, seeds, mask, key: trainer.train_step(
+            st, graph, features, labels_1d, seeds, mask, key
+        )
+        eval_fn = lambda params, seeds, mask, key: trainer.eval_step(
+            params, graph, features, labels_1d, seeds, mask, key
+        )
+
     state = trainer.init_state(jax.random.key(args.seed))
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     train_gen = SeedGenerator(arrays["train_idx"], args.batch_size, shuffle=True)
     valid_gen = SeedGenerator(arrays["valid_idx"], args.batch_size)
@@ -100,27 +170,31 @@ def main():
         for step, (seeds, mask) in enumerate(
             train_gen.epoch(jax.random.key(1000 + epoch))
         ):
-            state, metrics = trainer.train_step(
-                state, graph, features, labels, seeds, mask, jax.random.key(epoch)
-            )
+            state, metrics = step_fn(state, seeds, mask, jax.random.key(epoch))
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
-        jax.block_until_ready(state.params)
+        device_sync(state.params)
         dt = time.perf_counter() - t0
         loss = float(jnp.mean(jnp.stack(losses)))
         acc = float(jnp.mean(jnp.stack(accs)))
 
-        correct = total = 0
-        for seeds, mask in valid_gen.epoch(jax.random.key(2)):
-            c, t = trainer.eval_step(
-                state.params, graph, features, labels, seeds, mask, jax.random.key(3)
-            )
-            correct += int(c)
-            total += int(t)
+        val_msg = ""
+        if eval_fn is not None:
+            correct = total = 0
+            for seeds, mask in valid_gen.epoch(jax.random.key(2)):
+                c, t = eval_fn(state.params, seeds, mask, jax.random.key(3))
+                correct += int(c)
+                total += int(t)
+            val_msg = f" val_acc={correct / max(total, 1):.4f}"
         print(
-            f"epoch {epoch}: loss={loss:.4f} train_acc={acc:.4f} "
-            f"val_acc={correct / max(total, 1):.4f} time={dt:.2f}s"
+            f"epoch {epoch}: loss={loss:.4f} train_acc={acc:.4f}{val_msg} "
+            f"time={dt:.2f}s"
         )
+        log.log("epoch", epoch=epoch, loss=loss, train_acc=acc, time_s=dt)
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint, state)
+
+    log.close()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,41 @@
+"""Checkpoint round-trip + metrics logger."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.models import SAGE
+from dist_gnn_tpu.training import Trainer
+from dist_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = SAGE(8, 16, 4, 2)
+    trainer = Trainer(model=model, fan_out=(3, 3))
+    state = trainer.init_state(jax.random.key(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = trainer.init_state(jax.random.key(99))  # different values
+    restored = load_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phase_timer_and_logger(tmp_path, capsys):
+    from dist_gnn_tpu.utils.metrics import MetricsLogger, PhaseTimer
+
+    t = PhaseTimer(warmup=1)
+    for _ in range(3):
+        t.start("sampling")
+        x = jnp.ones(16).sum()
+        t.stop("sampling", fence=x)
+    rep = t.report()
+    assert "sampling" in rep and rep["sampling"] >= 0
+
+    log = MetricsLogger(path=str(tmp_path / "m.jsonl"), stdout=False)
+    log.log("epoch", epoch=1, loss=0.5)
+    log.close()
+    import json
+
+    rec = json.loads(open(tmp_path / "m.jsonl").read().strip())
+    assert rec["event"] == "epoch" and rec["loss"] == 0.5

@@ -93,3 +93,32 @@ def test_large_random_vs_oracle():
     oracle_unique = set(seeds.tolist()) | set(neigh[mask].tolist())
     assert n == len(oracle_unique)
     assert set(f[fm].tolist()) == oracle_unique
+
+
+def test_dense_matches_sort_variant():
+    from dist_gnn_tpu.ops.relabel import unique_and_relabel_dense
+
+    rng = np.random.default_rng(7)
+    N = 5000
+    for trial in range(3):
+        S, k = 48, 6
+        seeds_np = rng.choice(N, S, replace=False).astype(np.int32)
+        seeds_np[-5:] = INVALID_ID  # padded tail
+        neigh = rng.integers(0, N, (S, k)).astype(np.int32)
+        mask = rng.random((S, k)) > 0.3
+        neigh_in = np.where(mask, neigh, INVALID_ID).astype(np.int32)
+
+        a = unique_and_relabel(
+            jnp.asarray(seeds_np), jnp.asarray(neigh_in), jnp.asarray(mask)
+        )
+        b = unique_and_relabel_dense(
+            jnp.asarray(seeds_np), jnp.asarray(neigh_in), jnp.asarray(mask), N
+        )
+        np.testing.assert_array_equal(np.asarray(a.frontier), np.asarray(b.frontier))
+        np.testing.assert_array_equal(
+            np.asarray(a.frontier_mask), np.asarray(b.frontier_mask)
+        )
+        assert int(a.num_frontier) == int(b.num_frontier)
+        sa = np.asarray(a.neigh_slots)
+        sb = np.asarray(b.neigh_slots)
+        np.testing.assert_array_equal(sa[mask], sb[mask])
