@@ -113,8 +113,24 @@ class HostGraph:
         indptr = indptr.astype(_min_indptr_dtype(len(indices)))
         return HostGraph(indptr=indptr, indices=indices, probs=out_probs)
 
-    def to_device(self, sharding=None) -> "Graph":
+    def build_alias_tables(self):
+        """Walker alias tables for O(1) weighted draws (requires probs).
+
+        Host-side, native C++ when built (see csrc/graph_build.cc
+        dg_build_alias); the device sampler ``sample_biased_alias`` consumes
+        them.  Returns (prob [nnz] f32, alias [nnz] int32 row offsets).
+        """
+        assert self.probs is not None
+        from dist_gnn_tpu.utils import native
+
+        return native.build_alias(self.indptr, self.probs)
+
+    def to_device(self, sharding=None, with_alias: bool = False) -> "Graph":
         put = lambda x: jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
+        alias_prob = alias_idx = None
+        if with_alias and self.probs is not None:
+            ap, ai = self.build_alias_tables()
+            alias_prob, alias_idx = put(ap), put(ai)
         return Graph(
             indptr=put(self.indptr),
             indices=put(self.indices.astype(np.int32)),
@@ -122,6 +138,8 @@ class HostGraph:
             num_nodes=self.num_nodes,
             num_edges=self.num_edges,
             max_degree=self.max_degree,
+            alias_prob=alias_prob,
+            alias_idx=alias_idx,
         )
 
 
@@ -136,6 +154,10 @@ class Graph:
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
     max_degree: int = dataclasses.field(metadata=dict(static=True))
+    # Walker alias tables for O(1) weighted draws (optional, see
+    # HostGraph.build_alias_tables)
+    alias_prob: Optional[jnp.ndarray] = None
+    alias_idx: Optional[jnp.ndarray] = None
 
     @property
     def has_probs(self) -> bool:

@@ -174,6 +174,94 @@ def sample_biased(
     return SampledNeighbors(ids=ids, mask=mask)
 
 
+@partial(jax.jit, static_argnames=("k", "replace"))
+def sample_biased_alias(
+    graph: Graph, seeds: jnp.ndarray, k: int, replace: bool, key: jax.Array
+) -> SampledNeighbors:
+    """Weighted sampling via per-row Walker alias tables — O(B*k) draws.
+
+    Requires ``graph.alias_prob``/``alias_idx`` (HostGraph.build_alias_tables,
+    native csrc/dg_build_alias).  A draw is: j ~ U[0, deg); accept j if
+    u < prob[j] else take alias[j] — one 8-byte gather per draw, replacing
+    the O(degree) CDF scan / A-Res pass of both the reference kernels and
+    the chunked :func:`sample_biased`.
+
+    ``replace=False`` uses successive distinct draws, which by the
+    Efraimidis–Spirakis equivalence has the same distribution as A-Res
+    weighted reservoir sampling.  Rows with deg <= 2k instead use exact
+    Gumbel top-k over the (short) row.  Successive drawing uses 4k
+    attempts; shortfall slots (astronomically rare for deg > 2k) are
+    masked, never silently wrong.
+    """
+    assert graph.alias_prob is not None and graph.alias_idx is not None
+    B = seeds.shape[0]
+    start, deg, valid = _row_extents(graph, seeds)
+    nnz = max(graph.num_edges - 1, 0)
+
+    def alias_draw(bits_slot, bits_u):
+        """One weighted draw per element → edge offset within the row."""
+        j = prng.uniform_mod(bits_slot, deg[:, None])
+        pos = jnp.clip(start[:, None] + j.astype(start.dtype), 0, nnz)
+        pr = graph.alias_prob[pos]
+        al = graph.alias_idx[pos]
+        u = prng.bits_to_uniform(bits_u)
+        return jnp.where(u < pr, j, al)
+
+    if replace:
+        bits = prng.random_keys(key, (2, B, k))
+        sel = alias_draw(bits[0], bits[1])
+        mask = valid[:, None] & (deg[:, None] > 0)
+        pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
+        ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
+        return SampledNeighbors(ids=ids, mask=mask)
+
+    T = 4 * k
+    bits = prng.random_keys(key, (2, B, T))
+    draws = alias_draw(bits[0], bits[1])  # [B, T] row offsets
+
+    # dense-row exact path: deg <= 2k → Gumbel top-k over the whole row
+    D = 2 * k
+    off = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
+    in_row = off < jnp.minimum(deg[:, None], D)
+    posd = jnp.clip(start[:, None] + off.astype(start.dtype), 0, nnz)
+    w = jnp.where(in_row, graph.probs[posd], 0.0)
+    gkey = jax.random.fold_in(key, 1)
+    gu = prng.bits_to_uniform(prng.random_keys(gkey, (B, D)))
+    glog = jnp.where(in_row & (w > 0), jnp.log(gu) / w, -jnp.inf)
+    _, top_off = jax.lax.top_k(glog, k)  # offsets into the row
+    dense_valid = jnp.take_along_axis(glog, top_off, axis=1) > -jnp.inf
+
+    # sparse-row path: first k distinct among T successive draws
+    first = jnp.ones((B, T), bool)
+    eq = draws[:, :, None] == draws[:, None, :]  # [B, T, T]
+    earlier = jnp.tril(jnp.ones((T, T), bool), k=-1)
+    dup = jnp.any(eq & earlier[None], axis=2)
+    first = ~dup
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    take = first & (rank < k)
+    sel_sparse = jnp.zeros((B, k), jnp.int32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
+    sel_sparse = sel_sparse.at[
+        jnp.where(take, row_i, 0), jnp.where(take, rank, 0)
+    ].set(jnp.where(take, draws, 0).astype(jnp.int32), mode="drop")
+    got = jnp.sum(take.astype(jnp.int32), axis=1)  # distinct draws found
+    jslots = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+    sparse_valid = jslots < got[:, None]
+
+    is_dense = deg[:, None] <= D
+    take_all = deg[:, None] <= k
+    sel = jnp.where(take_all, jslots, jnp.where(is_dense, top_off, sel_sparse))
+    smask = jnp.where(
+        take_all,
+        jslots < deg[:, None],
+        jnp.where(is_dense, dense_valid, sparse_valid),
+    )
+    mask = valid[:, None] & smask
+    pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
+    ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
+    return SampledNeighbors(ids=ids, mask=mask)
+
+
 def sample_neighbors(
     graph: Graph,
     seeds: jnp.ndarray,
@@ -187,5 +275,7 @@ def sample_neighbors(
     if biased is None:
         biased = graph.probs is not None
     if biased:
+        if graph.alias_prob is not None:
+            return sample_biased_alias(graph, seeds, k, replace, key)
         return sample_biased(graph, seeds, k, replace, key)
     return sample_uniform(graph, seeds, k, replace, key)

@@ -70,6 +70,14 @@ def _configure(lib: ctypes.CDLL) -> None:
         f32p,  # out sub_probs or NULL
     ]
     lib.dg_extract_subcsc.restype = ctypes.c_int
+    lib.dg_build_alias.argtypes = [
+        ctypes.c_int64,  # num_rows
+        i64p,  # indptr
+        f32p,  # weights
+        f32p,  # out prob
+        i32p,  # out alias
+    ]
+    lib.dg_build_alias.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -164,3 +172,52 @@ def extract_subcsc(
             else np.empty(0, dtype=np.float32)
         )
     return sub_indptr, sub_indices, sub_probs
+
+
+def build_alias(indptr: np.ndarray, weights: np.ndarray):
+    """Per-row Walker alias tables (prob[nnz] f32, alias[nnz] int32 —
+    offsets within the row).  Native when built, numpy fallback."""
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    weights32 = np.ascontiguousarray(weights, dtype=np.float32)
+    nnz = len(weights32)
+    prob = np.empty(nnz, dtype=np.float32)
+    alias = np.empty(nnz, dtype=np.int32)
+    lib = _find_lib()
+    if lib is not None:
+        rc = lib.dg_build_alias(
+            len(indptr64) - 1,
+            _as_ptr(indptr64, ctypes.c_int64),
+            _as_ptr(weights32, ctypes.c_float),
+            _as_ptr(prob, ctypes.c_float),
+            _as_ptr(alias, ctypes.c_int32),
+        )
+        if rc == 0:
+            return prob, alias
+    # numpy fallback (two-stack per row)
+    for r in range(len(indptr64) - 1):
+        lo, hi = indptr64[r], indptr64[r + 1]
+        d = hi - lo
+        if d == 0:
+            continue
+        w = weights32[lo:hi].astype(np.float64)
+        total = w.sum()
+        if total <= 0:
+            prob[lo:hi] = 1.0
+            alias[lo:hi] = np.arange(d)
+            continue
+        scaled = w * d / total
+        small = [i for i in range(d) if scaled[i] < 1.0]
+        large = [i for i in range(d) if scaled[i] >= 1.0]
+        while small and large:
+            s_, l_ = small.pop(), large.pop()
+            prob[lo + s_] = scaled[s_]
+            alias[lo + s_] = l_
+            scaled[l_] -= 1.0 - scaled[s_]
+            (small if scaled[l_] < 1.0 else large).append(l_)
+        for l_ in large:
+            prob[lo + l_] = 1.0
+            alias[lo + l_] = l_
+        for s_ in small:
+            prob[lo + s_] = 1.0
+            alias[lo + s_] = s_
+    return prob, alias

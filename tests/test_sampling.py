@@ -155,3 +155,71 @@ class TestBiased:
         ids, mask = np.asarray(out.ids), np.asarray(out.mask)
         assert mask[0].sum() == 2
         assert set(ids[0][mask[0].astype(bool)]) == {0, 1}
+
+
+class TestBiasedAlias:
+    """Alias-table weighted sampler: distribution parity with the A-Res
+    oracle (Efraimidis-Spirakis equivalence of successive weighted draws)."""
+
+    def make(self, weights):
+        d = len(weights)
+        indptr = np.concatenate([[0, d], np.full(16, d)]).astype(np.int64)
+        indices = (np.arange(d) + 10).astype(np.int32)
+        hg = HostGraph(
+            indptr=indptr,
+            indices=indices,
+            probs=np.asarray(weights, np.float32),
+        )
+        return hg.to_device(with_alias=True)
+
+    def test_with_replacement_matches_weights(self):
+        g = self.make([8, 4, 1, 1, 1, 1])
+        from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+        T, k = 3000, 4
+        out = sample_biased_alias(
+            g, jnp.zeros((T,), jnp.int32), k=k, replace=True, key=jax.random.key(3)
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask.all()
+        for i, w in enumerate([8, 4, 1, 1, 1, 1]):
+            p = w / 16.0
+            freq = (ids == 10 + i).mean()
+            assert abs(freq - p) < binom_bound(p, T * k) + 0.01, (i, freq, p)
+
+    def test_without_replacement_matches_ares_oracle(self):
+        w = [8, 4, 2, 1, 1, 1, 1, 1, 0.5, 0.5]  # deg 10 > 2k for k=2 -> sparse path
+        g = self.make(w)
+        from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+        T, k = 4000, 2
+        out = sample_biased_alias(
+            g, jnp.zeros((T,), jnp.int32), k=k, replace=False, key=jax.random.key(9)
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert mask.mean() > 0.999  # shortfall must be negligible
+        for row, m in zip(ids, mask):
+            assert len(set(row[m])) == m.sum()
+        # A-Res oracle inclusion probabilities
+        rngen = np.random.default_rng(0)
+        wa = np.asarray(w, np.float64)
+        oracle = np.zeros(len(w))
+        O = 30000
+        for _ in range(O):
+            keys = rngen.random(len(w)) ** (1 / wa)
+            oracle[np.argsort(-keys)[:k]] += 1
+        oracle /= O
+        incl = [(ids == 10 + i).any(axis=1).mean() for i in range(len(w))]
+        np.testing.assert_allclose(incl, oracle, atol=0.03)
+
+    def test_dense_path_take_all_and_topk(self):
+        g = self.make([1.0, 5.0, 2.0])
+        from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+        # k >= deg -> take all
+        out = sample_biased_alias(
+            g, jnp.zeros((4,), jnp.int32), k=5, replace=False, key=jax.random.key(0)
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        for r in range(4):
+            assert set(ids[r][mask[r]]) == {10, 11, 12}
