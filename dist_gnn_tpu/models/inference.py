@@ -1,0 +1,92 @@
+"""Full-graph layer-wise inference.
+
+Counterpart of the reference's ``SAGE.inference``
+(``example/graphsage/utils/models.py:57-97``): instead of sampling, each
+layer is evaluated over *all* nodes with their full neighborhoods, one
+layer at a time, so the deep representation has no sampling noise (the
+standard protocol for final validation/test accuracy).
+
+TPU shape: per layer, iterate over fixed-size *destination node chunks*;
+a chunk's in-edges form a contiguous CSC span, so the edge walk is chunked
+contiguous loads (no random structure access), and aggregation is
+``segment_sum`` keyed by a vectorised binary search of edge offsets into
+the chunk's indptr slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.graph import HostGraph
+
+
+@partial(jax.jit, static_argnames=("num_dst", "edge_chunk"))
+def _mean_aggregate_span(
+    indptr, indices, h, dst_lo, num_dst: int, edge_lo, edge_hi, edge_chunk: int
+):
+    """Masked neighbor-mean for dst rows [dst_lo, dst_lo + num_dst)."""
+    F = h.shape[1]
+    nnz = indices.shape[0]
+    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
+    deg = (local_ptr[1:] - local_ptr[:-1]).astype(h.dtype)
+
+    def body(c, acc):
+        base = edge_lo + c * edge_chunk
+        off = base + jnp.arange(edge_chunk, dtype=jnp.int64 if indptr.dtype == jnp.int64 else jnp.int32)
+        valid = off < edge_hi
+        off_c = jnp.clip(off, 0, nnz - 1)
+        src = indices[off_c]
+        rows = (
+            jnp.searchsorted(local_ptr, off_c, side="right") - 1
+        ).astype(jnp.int32)
+        msg = jnp.where(valid[:, None], h[jnp.where(valid, src, 0)], 0)
+        return acc + jax.ops.segment_sum(
+            msg, jnp.clip(rows, 0, num_dst - 1), num_segments=num_dst
+        )
+
+    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
+    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((num_dst, F), h.dtype))
+    return acc / jnp.maximum(deg, 1)[:, None]
+
+
+def full_graph_inference(
+    model,
+    params,
+    hg: HostGraph,
+    features: jnp.ndarray,
+    node_chunk: int = 8192,
+    edge_chunk: int = 1 << 15,
+) -> jnp.ndarray:
+    """Layer-wise full-neighborhood forward; returns final-layer output [N, C].
+
+    Host loop over layers × dst chunks; each chunk call is one jit with
+    static shapes (the edge-span length is a traced fori bound, so chunk
+    calls share one executable per node-chunk size).
+    """
+    ptr_dtype = np.int64 if hg.num_edges >= 2**31 else np.int32
+    indptr = jnp.asarray(np.asarray(hg.indptr, dtype=ptr_dtype))
+    indices = jnp.asarray(hg.indices)
+    N = hg.num_nodes
+    indptr_np = np.asarray(hg.indptr)
+    h = features
+
+    for l in range(len(model.dims)):
+        p = params[f"layer{l}"]
+        outs = []
+        for lo in range(0, N, node_chunk):
+            num = min(node_chunk, N - lo)
+            e_lo = int(indptr_np[lo])
+            e_hi = int(indptr_np[lo + num])
+            h_mean = _mean_aggregate_span(
+                indptr, indices, h, lo, num, e_lo, e_hi, edge_chunk
+            )
+            out = model._layer_forward(p, h[lo : lo + num], h_mean)
+            outs.append(out)
+        h = jnp.concatenate(outs, axis=0)
+        if l != len(model.dims) - 1:
+            h = jax.nn.relu(h)
+    return h

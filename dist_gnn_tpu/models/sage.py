@@ -63,6 +63,23 @@ class SAGE:
             }
         return params
 
+    def _layer_forward(self, p, h_dst, h_mean):
+        """One SAGEConv-mean layer given the destination features and the
+        aggregated neighbor mean (shared by block training and full-graph
+        inference)."""
+        cd = self.compute_dtype
+        w_self = p["w_self"] if cd is None else p["w_self"].astype(cd)
+        w_neigh = p["w_neigh"] if cd is None else p["w_neigh"].astype(cd)
+        if cd is not None:
+            h_dst = h_dst.astype(cd)
+            h_mean = h_mean.astype(cd)
+        out = (
+            jnp.dot(h_dst, w_self, preferred_element_type=jnp.float32)
+            + jnp.dot(h_mean, w_neigh, preferred_element_type=jnp.float32)
+            + p["b"]
+        )
+        return out.astype(h_dst.dtype if cd is None else cd)
+
     def apply(
         self,
         params: Dict[str, Any],
@@ -80,15 +97,9 @@ class SAGE:
         h = x if cd is None else x.astype(cd)
         for l, block in enumerate(blocks):
             p = params[f"layer{l}"]
-            w_self = p["w_self"] if cd is None else p["w_self"].astype(cd)
-            w_neigh = p["w_neigh"] if cd is None else p["w_neigh"].astype(cd)
             h_dst = h[: block.num_dst]
             h_mean = gather_mean(h, block.neigh_slots, block.neigh_mask)
-            h = (
-                jnp.dot(h_dst, w_self, preferred_element_type=jnp.float32)
-                + jnp.dot(h_mean, w_neigh, preferred_element_type=jnp.float32)
-                + p["b"]
-            ).astype(h.dtype)
+            h = self._layer_forward(p, h_dst, h_mean).astype(h.dtype)
             if l != len(self.dims) - 1:
                 h = jax.nn.relu(h)
                 if train and self.dropout > 0:

@@ -50,11 +50,107 @@ def _row_extents(graph: Graph, seeds: jnp.ndarray):
     return start, deg, valid
 
 
-@partial(jax.jit, static_argnames=("k", "replace"))
+def _window_fetch(
+    graph: Graph,
+    start: jnp.ndarray,  # [B] row starts (edge offsets)
+    sel: jnp.ndarray,  # [B, k] sampled positions within each row
+    mask: jnp.ndarray,  # [B, k]
+    window: int,
+    big_row_budget: Optional[int],
+):
+    """Fetch ``indices[start + sel]`` using one contiguous W-slice gather
+    per row instead of B*k element gathers.
+
+    TPU gather throughput is bounded by *slice count* (~55M slices/s
+    measured on v5e), so a [B, W] windowed gather costs ~1/k of the
+    elementwise gather while staying byte-cheap (W*4B contiguous).  Rows
+    whose sampled position falls outside the window (deg > W picks) are
+    compacted into a static ``big_row_budget`` and served elementwise;
+    overflow beyond the budget is masked and returned as a count — never
+    silently wrong.  Exactness: identical results to the elementwise path
+    whenever the budget suffices (tested).
+    """
+    B, k = sel.shape
+    nnz = max(graph.num_edges - 1, 0)
+    W = window
+    # View the edge array as [ceil(nnz/W), W]; any W-window starting at an
+    # arbitrary offset is covered by two adjacent rows.  2-D row gathers
+    # are the fast TPU gather shape (~52M slices/s); vmap(dynamic_slice)
+    # over a 1-D array lowers ~30x slower (measured 58 ms vs 1.3 ms here).
+    n_rows = -(-graph.num_edges // W)
+    flat = graph.indices
+    pad = n_rows * W - graph.num_edges
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    mat = flat.reshape(n_rows, W)
+    r0 = jnp.clip((start // W).astype(jnp.int32), 0, max(n_rows - 2, 0))
+    pair = jnp.stack([r0, r0 + 1], axis=1)  # [B, 2]
+    win = mat[pair].reshape(B, 2 * W)  # [B, 2W]
+    adj = (start - (r0.astype(start.dtype) * W))[:, None] + sel  # [B, k]
+    covered = mask & (adj < 2 * W)
+    # in-window selection as a compare+mask+reduce — NOT take_along_axis,
+    # which lowers to a per-element gather (measured 5.1 ms vs 0.18 ms for
+    # this fused reduction at [33792, 256] pick 15)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * W), 2)
+    hitmask = w_iota == jnp.clip(adj, 0, 2 * W - 1)[:, :, None]  # [B, k, 2W]
+    ids = jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2)
+
+    uncovered_any = jnp.any(mask & ~covered, axis=1)  # [B]
+    if big_row_budget is None:
+        # exact fallback: full elementwise gather merged in
+        pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
+        ids_elem = graph.indices[pos]
+        ids = jnp.where(covered, ids, ids_elem)
+        return jnp.where(mask, ids, INVALID_ID), mask, jnp.int32(0)
+
+    R = big_row_budget
+    rank = jnp.cumsum(uncovered_any.astype(jnp.int32)) - 1
+    slot = jnp.where(uncovered_any & (rank < R), rank, R)
+    # compact big rows' (start, sel) into the budget
+    big_start = (
+        jnp.zeros((R + 1,), start.dtype).at[slot].set(start, mode="drop")[:R]
+    )
+    big_sel = (
+        jnp.zeros((R + 1, k), sel.dtype)
+        .at[slot]
+        .set(sel, mode="drop")[:R]
+    )
+    big_pos = jnp.clip(big_start[:, None] + big_sel.astype(start.dtype), 0, nnz)
+    big_ids = graph.indices[big_pos]  # [R, k]
+    # route results back with an R-row scatter (R is small) instead of a
+    # B-row gather
+    inv_row = (
+        jnp.full((R + 1,), B, jnp.int32).at[slot].set(
+            jnp.arange(B, dtype=jnp.int32), mode="drop"
+        )[:R]
+    )
+    from_big = (
+        jnp.zeros((B + 1, k), big_ids.dtype)
+        .at[inv_row]
+        .set(big_ids, mode="drop")[:B]
+    )
+    served = covered | (uncovered_any & (rank < R))[:, None]
+    ids = jnp.where(covered, ids, from_big)
+    out_mask = mask & served
+    overflow = jnp.sum((mask & ~served).astype(jnp.int32))
+    return jnp.where(out_mask, ids, INVALID_ID), out_mask, overflow
+
+
+@partial(jax.jit, static_argnames=("k", "replace", "window", "big_row_budget"))
 def sample_uniform(
-    graph: Graph, seeds: jnp.ndarray, k: int, replace: bool, key: jax.Array
+    graph: Graph,
+    seeds: jnp.ndarray,
+    k: int,
+    replace: bool,
+    key: jax.Array,
+    window: Optional[int] = None,
+    big_row_budget: Optional[int] = None,
 ) -> SampledNeighbors:
-    """Uniformly sample up to ``k`` in-neighbors per seed row."""
+    """Uniformly sample up to ``k`` in-neighbors per seed row.
+
+    ``window`` enables the windowed-gather fast path (see
+    :func:`_window_fetch`); None keeps the plain elementwise gather.
+    """
     B = seeds.shape[0]
     start, deg, valid = _row_extents(graph, seeds)
     j = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
@@ -69,6 +165,10 @@ def sample_uniform(
         take_all = deg[:, None] <= k
         sel = jnp.where(take_all, j, perm)
         mask = valid[:, None] & (j < jnp.minimum(deg[:, None], k))
+
+    if window is not None and graph.num_edges > window:
+        ids, mask, _ = _window_fetch(graph, start, sel, mask, window, big_row_budget)
+        return SampledNeighbors(ids=ids, mask=mask)
 
     pos = start[:, None] + sel.astype(start.dtype)
     pos = jnp.clip(pos, 0, max(graph.num_edges - 1, 0))
@@ -269,6 +369,8 @@ def sample_neighbors(
     replace: bool,
     key: jax.Array,
     biased: Optional[bool] = None,
+    window: Optional[int] = None,
+    big_row_budget: Optional[int] = None,
 ) -> SampledNeighbors:
     """Dispatch uniform/biased on ``graph.probs`` like the reference sampler
     (``src/sampling/sampler.cc:77-79``)."""
@@ -278,4 +380,6 @@ def sample_neighbors(
         if graph.alias_prob is not None:
             return sample_biased_alias(graph, seeds, k, replace, key)
         return sample_biased(graph, seeds, k, replace, key)
-    return sample_uniform(graph, seeds, k, replace, key)
+    return sample_uniform(
+        graph, seeds, k, replace, key, window=window, big_row_budget=big_row_budget
+    )

@@ -154,7 +154,22 @@ def exchange_gather(
 
 class ShardedFeatureStore:
     """Feature matrix row-sharded over a mesh axis, fetched via
-    :func:`exchange_gather`.  Host-side container + device upload."""
+    :func:`exchange_gather`, with an optional heat-driven **hot tier**:
+    per-chip cached rows served from local HBM without touching ICI.
+
+    This is the feature half of the reference's cache design
+    (``P2PCacheFeatureServer``, ``src/feature/feature_server.cc:10-61``):
+    * selfish policy → every chip caches the same/its own hottest rows
+      (local hits),
+    * selfless policy → chips cache disjoint partitions; *local* hits skip
+      the exchange, remote-cached rows still ride the all-to-all but that
+      is exactly the NVLink-tier of the reference's cost model.
+    The routing "hashmap" is a per-chip sorted-id table
+    (ops/hashtable.py).
+
+    Pass ``hot_ids`` as an [n, C] int32 array (per-chip cached node ids,
+    INVALID_ID padded) from cache/policy.py plans.
+    """
 
     def __init__(
         self,
@@ -162,6 +177,7 @@ class ShardedFeatureStore:
         mesh,
         axis_name: str = "data",
         budget_slack: float = 2.0,
+        hot_ids: Optional[np.ndarray] = None,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
@@ -178,20 +194,72 @@ class ShardedFeatureStore:
         self.features = jax.device_put(features, NamedSharding(mesh, spec))
         self.pspec = spec
 
+        self.hot_sorted = self.hot_slots = self.hot_rows = None
+        if hot_ids is not None:
+            assert hot_ids.shape[0] == n
+            C = hot_ids.shape[1]
+            sorted_ids = np.sort(
+                np.where(hot_ids == INVALID_ID, np.iinfo(np.int32).max, hot_ids), axis=1
+            ).astype(np.int32)
+            safe = np.clip(sorted_ids, 0, self.num_rows - 1)
+            rows = features[safe.reshape(-1)].reshape(n, C, features.shape[1])
+            rows[sorted_ids == INVALID_ID] = 0
+            sh = NamedSharding(mesh, P(axis_name, None))
+            sh3 = NamedSharding(mesh, P(axis_name, None, None))
+            self.hot_sorted = jax.device_put(sorted_ids, sh)
+            self.hot_rows = jax.device_put(rows, sh3)
+
     @property
     def feature_dim(self) -> int:
         return self.features.shape[1]
 
-    def fetch_local(self, local_shard, ids, mask, budget=None):
-        """Call inside shard_map over ``self.axis_name``."""
-        return exchange_gather(
-            local_shard,
-            ids,
-            mask,
-            self.axis_name,
-            self.shard_size,
+    def shard_args(self):
+        """Array args to pass through shard_map, matched by shard_specs()."""
+        if self.hot_sorted is None:
+            return (self.features,)
+        return (self.features, self.hot_sorted, self.hot_rows)
+
+    def shard_specs(self):
+        ax = self.axis_name
+        if self.hot_sorted is None:
+            return (P(ax, None),)
+        return (P(ax, None), P(ax, None), P(ax, None, None))
+
+    def fetch_local(self, shard_args, ids, mask, budget=None):
+        """Call inside shard_map over ``self.axis_name``.
+
+        ``shard_args`` are the per-chip blocks of :meth:`shard_args`
+        (hot tables arrive as [1, C]/[1, C, F] — squeezed here).
+        """
+        if self.hot_sorted is None:
+            (local_shard,) = shard_args
+            return exchange_gather(
+                local_shard, ids, mask, self.axis_name, self.shard_size,
+                budget=budget,
+            )
+        local_shard, hot_sorted, hot_rows = shard_args
+        hot_sorted = hot_sorted.reshape(-1)
+        hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
+        # hot probe: sorted binary search, local-HBM gather on hit
+        pos = jnp.searchsorted(hot_sorted, ids)
+        pos_c = jnp.clip(pos, 0, hot_sorted.shape[0] - 1)
+        hit = mask & (hot_sorted[pos_c] == ids)
+        hot_out = jnp.where(hit[:, None], hot_rows[pos_c], 0)
+        # miss tier: all-to-all to the base shards
+        miss_mask = mask & ~hit
+        cold_out, overflow = exchange_gather(
+            local_shard, ids, miss_mask, self.axis_name, self.shard_size,
             budget=budget,
         )
+        return jnp.where(hit[:, None], hot_out, cold_out), overflow
+
+    def hot_hit_rate(self, ids: np.ndarray, chip: int = 0) -> float:
+        """Diagnostic: fraction of ids served by chip's hot tier."""
+        if self.hot_sorted is None:
+            return 0.0
+        hs = np.asarray(self.hot_sorted)[chip]
+        pos = np.clip(np.searchsorted(hs, ids), 0, len(hs) - 1)
+        return float(np.mean(hs[pos] == ids))
 
     def fetch(self, ids: jnp.ndarray, mask: jnp.ndarray):
         """Standalone fetch (jit-able): ids/mask sharded or replicated

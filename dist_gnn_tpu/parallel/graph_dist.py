@@ -52,10 +52,51 @@ class ShardedGraph:
     shard_size: int
     num_nodes: int
     max_degree: int
+    # heat-driven hot tier: per-chip cached rows sampled locally without ICI
+    # (the structure half of the reference's P2P cache,
+    # ``P2PCacheSampler`` ctor ``src/sampling/sampler.cc:99-134``)
+    hot_sorted: Optional[jnp.ndarray] = None  # [n, C] sorted ids (INVALID pad)
+    hot_indptr: Optional[jnp.ndarray] = None  # [n, C+1]
+    hot_indices: Optional[jnp.ndarray] = None  # [n, hot_nnz]
+    hot_probs: Optional[jnp.ndarray] = None  # [n, hot_nnz] or None
+    hot_max_degree: int = 0
+
+    def shard_args(self):
+        args = [self.indptr, self.indices]
+        if self.probs is not None:
+            args.append(self.probs)
+        if self.hot_sorted is not None:
+            args += [self.hot_sorted, self.hot_indptr, self.hot_indices]
+            if self.hot_probs is not None:
+                args.append(self.hot_probs)
+        return tuple(args)
+
+    def shard_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return tuple(P(self.axis_name, None) for _ in self.shard_args())
+
+    def unpack(self, blks):
+        """Split the per-chip shard_map blocks back into named pieces."""
+        blks = list(blks)
+        indptr = blks.pop(0)
+        indices = blks.pop(0)
+        probs = blks.pop(0) if self.probs is not None else None
+        hot = None
+        if self.hot_sorted is not None:
+            hs = blks.pop(0)
+            hp = blks.pop(0)
+            hi = blks.pop(0)
+            hpr = blks.pop(0) if self.hot_probs is not None else None
+            hot = (hs, hp, hi, hpr)
+        return indptr, indices, probs, hot
 
     @staticmethod
     def build(
-        hg: HostGraph, mesh, axis_name: str = "data"
+        hg: HostGraph,
+        mesh,
+        axis_name: str = "data",
+        hot_ids: Optional[np.ndarray] = None,  # [n, C], INVALID padded
     ) -> "ShardedGraph":
         n = mesh.shape[axis_name]
         shard = shard_rows(hg.num_nodes, n)
@@ -90,6 +131,51 @@ class ShardedGraph:
             if probs_mat is not None:
                 probs_mat[d, : len(sub_probs[d])] = sub_probs[d]
         sh = NamedSharding(mesh, P(axis_name, None))
+        hot_kwargs = {}
+        if hot_ids is not None:
+            assert hot_ids.shape[0] == n
+            C = hot_ids.shape[1]
+            hot_sorted = np.sort(
+                np.where(hot_ids == INVALID_ID, np.iinfo(np.int32).max, hot_ids),
+                axis=1,
+            ).astype(np.int32)
+            sub = []
+            hot_max_deg = 1
+            for d in range(n):
+                ids_d = hot_sorted[d][hot_sorted[d] != INVALID_ID]
+                sp, si, spr = native.extract_subcsc(
+                    ids_d, indptr64, hg.indices, hg.probs
+                )
+                if len(ids_d) < C:  # pad empty rows for the INVALID tail
+                    sp = np.concatenate(
+                        [sp, np.full(C - len(ids_d), sp[-1], sp.dtype)]
+                    )
+                sub.append((sp, si, spr))
+                if len(ids_d):
+                    deg_d = np.diff(sp)
+                    hot_max_deg = max(hot_max_deg, int(deg_d.max()))
+            hot_nnz = max(1, max(len(si) for _, si, _ in sub))
+            hot_ptr = np.zeros((n, C + 1), np.int64)
+            hot_idx = np.zeros((n, hot_nnz), np.int32)
+            hot_pr = (
+                np.zeros((n, hot_nnz), np.float32) if hg.probs is not None else None
+            )
+            for d, (sp, si, spr) in enumerate(sub):
+                hot_ptr[d] = sp
+                hot_idx[d, : len(si)] = si
+                if hot_pr is not None:
+                    hot_pr[d, : len(spr)] = spr
+            if hot_nnz < 2**31:
+                hot_ptr = hot_ptr.astype(np.int32)
+            hot_kwargs = dict(
+                hot_sorted=jax.device_put(hot_sorted, sh),
+                hot_indptr=jax.device_put(hot_ptr, sh),
+                hot_indices=jax.device_put(hot_idx, sh),
+                hot_probs=(
+                    jax.device_put(hot_pr, sh) if hot_pr is not None else None
+                ),
+                hot_max_degree=hot_max_deg,
+            )
         return ShardedGraph(
             indptr=jax.device_put(ptr_mat, sh),
             indices=jax.device_put(idx_mat, sh),
@@ -99,6 +185,7 @@ class ShardedGraph:
             shard_size=shard,
             num_nodes=hg.num_nodes,
             max_degree=hg.max_degree,
+            **hot_kwargs,
         )
 
     def local_graph(self, indptr_blk, indices_blk, probs_blk) -> Graph:
@@ -112,6 +199,63 @@ class ShardedGraph:
             num_edges=int(self.indices.shape[1]),
             max_degree=self.max_degree,
         )
+
+
+def sample_neighbors_cached(
+    sgraph: ShardedGraph,
+    shard_blks,  # per-chip blocks of sgraph.shard_args()
+    seeds: jnp.ndarray,
+    seed_mask: jnp.ndarray,
+    k: int,
+    replace: bool,
+    key: jax.Array,
+    budget: Optional[int] = None,
+) -> Tuple[SampledNeighbors, jnp.ndarray]:
+    """Hybrid sampling: hot-cached rows sample from local HBM, misses go
+    owner-side over the all-to-all (call inside shard_map).
+
+    This is the per-row routing of the reference's cached sampler
+    (``rowwise_sampling_p2p.cu:180-223``: hashmap probe → local/peer/host),
+    reshaped for TPU: the probe is a sorted-table binary search and the
+    peer tier is the batched exchange, not a pointer deref.
+    """
+    indptr_blk, indices_blk, probs_blk, hot = sgraph.unpack(shard_blks)
+    if hot is None:
+        return sample_neighbors_sharded(
+            sgraph, indptr_blk, indices_blk, probs_blk, seeds, seed_mask,
+            k, replace, key, budget=budget,
+        )
+    hs, hp, hi, hpr = hot
+    hs = hs.reshape(-1)
+    C = hs.shape[0]
+    pos = jnp.searchsorted(hs, seeds)
+    pos_c = jnp.clip(pos, 0, C - 1)
+    hit = seed_mask & (hs[pos_c] == seeds)
+
+    hot_graph = Graph(
+        indptr=hp.reshape(-1),
+        indices=hi.reshape(-1),
+        probs=hpr.reshape(-1) if hpr is not None else None,
+        num_nodes=C,
+        num_edges=int(hi.size),
+        max_degree=sgraph.hot_max_degree,
+    )
+    local_rows = jnp.where(hit, pos_c, INVALID_ID).astype(jnp.int32)
+    me = jax.lax.axis_index(sgraph.axis_name)
+    hot_key = jax.random.fold_in(jax.random.fold_in(key, 1), me)
+    if hot_graph.probs is not None:
+        nb_hot = sample_biased(hot_graph, local_rows, k, replace, hot_key)
+    else:
+        nb_hot = sample_uniform(hot_graph, local_rows, k, replace, hot_key)
+
+    miss_seeds = jnp.where(hit, INVALID_ID, seeds)
+    nb_miss, overflow = sample_neighbors_sharded(
+        sgraph, indptr_blk, indices_blk, probs_blk, miss_seeds,
+        seed_mask & ~hit, k, replace, key, budget=budget,
+    )
+    ids = jnp.where(hit[:, None], nb_hot.ids, nb_miss.ids)
+    mask = jnp.where(hit[:, None], nb_hot.mask, nb_miss.mask)
+    return SampledNeighbors(ids=ids, mask=mask), overflow
 
 
 def sample_neighbors_sharded(

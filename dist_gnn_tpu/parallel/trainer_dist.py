@@ -31,7 +31,7 @@ from jax.sharding import PartitionSpec as P
 from dist_gnn_tpu.graph import Graph
 from dist_gnn_tpu.ops.relabel import unique_and_relabel
 from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore, request_budget
-from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_sharded
+from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_cached
 from dist_gnn_tpu.sampler import Block, sample_blocks
 from dist_gnn_tpu.training.trainer import TrainState
 
@@ -88,17 +88,15 @@ class DistTrainer:
         """Per-layer owner-side sampling + local relabel (inside shard_map).
 
         Mirrors sampler.sample_blocks but the neighbor fetch routes through
-        the all-to-all sharded structure instead of a local HBM gather.
+        the hot cache / all-to-all sharded structure instead of a local HBM
+        gather.
         """
-        indptr_blk, indices_blk, probs_blk = sgraph_blks
         blocks = []
         keys = jax.random.split(key, len(self.fan_out))
         for i, k in enumerate(reversed(list(self.fan_out))):
-            nb, _ = sample_neighbors_sharded(
+            nb, _ = sample_neighbors_cached(
                 self.sgraph,
-                indptr_blk,
-                indices_blk,
-                probs_blk,
+                sgraph_blks,
                 seeds,
                 seed_mask,
                 k,
@@ -121,7 +119,9 @@ class DistTrainer:
             seed_mask = rl.frontier_mask
         return tuple(blocks)
 
-    def _per_chip_step(self, state, graph, shard, labels_shard, seeds, seed_mask, key):
+    def _per_chip_step(
+        self, state, graph, store_args, labels_shard, seeds, seed_mask, key
+    ):
         k_sample, k_drop = jax.random.split(
             jax.random.fold_in(
                 jax.random.fold_in(key, state.step),
@@ -138,7 +138,7 @@ class DistTrainer:
         L = inp.frontier.shape[0]
         budget = request_budget(L, self.store.num_shards, self.store.budget_slack)
         feats, overflow = self.store.fetch_local(
-            shard, inp.frontier, inp.frontier_mask, budget=budget
+            store_args, inp.frontier, inp.frontier_mask, budget=budget
         )
         # labels live in the same node-range sharding (1-col store)
         lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
@@ -178,11 +178,10 @@ class DistTrainer:
         """seeds/seed_mask: global [world_batch] arrays sharded over the
         mesh axis; labels: [padded_rows, 1] sharded by node range like the
         feature store; graph: a replicated Graph, or (when ``self.sgraph``
-        is set) the tuple (sgraph.indptr, sgraph.indices, sgraph.probs)
-        sharded over the mesh axis."""
+        is set) ``sgraph.shard_args()`` sharded over the mesh axis."""
         ax = self.axis_name
         if self.sgraph is not None:
-            graph_spec = jax.tree.map(lambda _: P(ax, None), graph)
+            graph_spec = self.sgraph.shard_specs()
         else:
             graph_spec = jax.tree.map(lambda _: P(), graph)
         return jax.shard_map(
@@ -191,7 +190,7 @@ class DistTrainer:
             in_specs=(
                 jax.tree.map(lambda _: P(), state),
                 graph_spec,
-                P(ax, None),  # feature shard
+                self.store.shard_specs(),  # feature shard (+hot tier)
                 P(ax, None),  # labels shard
                 P(ax),  # seeds
                 P(ax),  # seed mask
@@ -202,4 +201,4 @@ class DistTrainer:
                 {"loss": P(), "acc": P(), "overflow": P()},
             ),
             check_vma=False,
-        )(state, graph, self.store.features, labels, seeds, seed_mask, key)
+        )(state, graph, self.store.shard_args(), labels, seeds, seed_mask, key)

@@ -47,6 +47,9 @@ class Trainer:
     replace: bool = False
     relabel_mode: str = "auto"
     frontier_caps: Any = None  # Optional[Tuple[int, ...]], sampling order
+    dedup_last: bool = True  # False = no-dedup final hop (faster, same math)
+    sampler_window: Any = None  # windowed-gather fast path (ops/sampling.py)
+    sampler_big_budget: Any = None
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -93,6 +96,9 @@ class Trainer:
             graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
             relabel_mode=self.relabel_mode,
             frontier_caps=self.frontier_caps,
+            dedup_last=self.dedup_last,
+            window=self.sampler_window,
+            big_row_budget=self.sampler_big_budget,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
@@ -127,6 +133,9 @@ class Trainer:
             graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key,
             relabel_mode=self.relabel_mode,
             frontier_caps=self.frontier_caps,
+            dedup_last=self.dedup_last,
+            window=self.sampler_window,
+            big_row_budget=self.sampler_big_budget,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask

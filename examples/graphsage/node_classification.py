@@ -135,7 +135,7 @@ def main():
             model=model, fan_out=fan_out, store=store, sgraph=sg,
             replace=args.replace,
         )
-        graph_arg = (sg.indptr, sg.indices, sg.probs)
+        graph_arg = sg.shard_args()
         # round the global batch to the mesh
         args.batch_size = max(n_dev, args.batch_size // n_dev * n_dev)
         step_fn = lambda st, seeds, mask, key: trainer.train_step(

@@ -123,3 +123,41 @@ def test_end_to_end_training_learns():
         total += int(t)
     acc = correct / total
     assert acc > 0.5, acc
+
+
+def test_full_graph_inference_matches_oracle():
+    """Layer-wise full-neighborhood inference vs a numpy SAGE oracle."""
+    from dist_gnn_tpu.models.inference import full_graph_inference
+
+    rng = np.random.default_rng(11)
+    N, E, F = 300, 3000, 8
+    hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    model = SAGE(F, 6, 3, 2, dropout=0.0)
+    params = model.init(jax.random.key(0))
+
+    out = np.asarray(
+        full_graph_inference(model, params, hg, jnp.asarray(feats),
+                             node_chunk=64, edge_chunk=256)
+    )
+
+    # numpy oracle
+    indptr = np.asarray(hg.indptr).astype(np.int64)
+    indices = np.asarray(hg.indices)
+    h = feats.astype(np.float64)
+    for l in range(2):
+        p = params[f"layer{l}"]
+        agg = np.zeros_like(h[:, : h.shape[1]])
+        agg = np.zeros((N, h.shape[1]))
+        for v in range(N):
+            nbrs = indices[indptr[v] : indptr[v + 1]]
+            if len(nbrs):
+                agg[v] = h[nbrs].mean(axis=0)
+        h = (
+            h @ np.asarray(p["w_self"], np.float64)
+            + agg @ np.asarray(p["w_neigh"], np.float64)
+            + np.asarray(p["b"], np.float64)
+        )
+        if l != 1:
+            h = np.maximum(h, 0)
+    np.testing.assert_allclose(out, h, rtol=1e-3, atol=1e-4)

@@ -223,3 +223,75 @@ class TestBiasedAlias:
         ids, mask = np.asarray(out.ids), np.asarray(out.mask)
         for r in range(4):
             assert set(ids[r][mask[r]]) == {10, 11, 12}
+
+
+class TestWindowFetch:
+    def test_window_path_identical_to_elementwise(self):
+        rng = np.random.default_rng(5)
+        N, E = 2000, 60000
+        hg = HostGraph.from_coo(
+            rng.integers(0, N, E), rng.integers(0, N, E), N
+        )
+        g = hg.to_device()
+        seeds = jnp.asarray(rng.integers(0, N, 512), jnp.int32)
+        base = sample_uniform(g, seeds, k=8, replace=False, key=jax.random.key(2))
+        # sufficient budget → bit-identical to the elementwise path
+        for budget in (None, 512):
+            win = sample_uniform(
+                g, seeds, k=8, replace=False, key=jax.random.key(2),
+                window=16, big_row_budget=budget,
+            )
+            np.testing.assert_array_equal(np.asarray(base.ids), np.asarray(win.ids))
+            np.testing.assert_array_equal(np.asarray(base.mask), np.asarray(win.mask))
+
+    def test_tight_budget_masks_not_corrupts(self):
+        rng = np.random.default_rng(6)
+        N, E = 500, 50000  # avg degree 100 >> window → every row is big
+        hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+        g = hg.to_device()
+        seeds = jnp.asarray(rng.integers(0, N, 256), jnp.int32)
+        base = sample_uniform(g, seeds, k=4, replace=False, key=jax.random.key(1))
+        win = sample_uniform(
+            g, seeds, k=4, replace=False, key=jax.random.key(1),
+            window=8, big_row_budget=32,
+        )
+        m = np.asarray(win.mask)
+        # every still-valid slot matches the exact path; the rest is masked
+        np.testing.assert_array_equal(
+            np.asarray(win.ids)[m], np.asarray(base.ids)[m]
+        )
+        assert m.sum() < np.asarray(base.mask).sum()  # some were dropped
+
+
+class TestDedupLast:
+    def test_no_dedup_last_same_aggregation(self):
+        """The no-dedup final hop must produce the same masked multiset of
+        (seed -> neighbor feature row) pairs as the dedup path."""
+        from dist_gnn_tpu.sampler import sample_blocks
+
+        rng = np.random.default_rng(8)
+        N, E = 1000, 20000
+        hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+        g = hg.to_device()
+        seeds = jnp.asarray(rng.integers(0, N, 64), jnp.int32)
+        mask = jnp.ones(64, bool)
+        for dedup in (True, False):
+            blocks = sample_blocks(
+                g, seeds, mask, (4, 4), False, jax.random.key(0),
+                dedup_last=dedup,
+            )
+            b = blocks[-1]
+            f = np.asarray(b.frontier)
+            fm = np.asarray(b.frontier_mask)
+            sl = np.asarray(b.neigh_slots)
+            nm = np.asarray(b.neigh_mask)
+            sd = np.asarray(b.seeds)
+            # resolve each neighbor slot to its global id
+            resolved = [
+                sorted(f[sl[i][nm[i]]].tolist())
+                for i in range(len(sd))
+            ]
+            if dedup:
+                ref = resolved
+            else:
+                assert resolved == ref

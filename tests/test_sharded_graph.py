@@ -78,7 +78,7 @@ def test_dist_trainer_sharded_structure_learns(mesh):
     model = SAGE(meta["feature_dim"], 32, meta["num_classes"], 2, dropout=0.0)
     trainer = DistTrainer(model=model, fan_out=(4, 4), store=store, sgraph=sg)
     state = trainer.init_state(jax.random.key(0))
-    graph_arg = (sg.indptr, sg.indices, sg.probs)
+    graph_arg = sg.shard_args()
 
     n = mesh.shape["data"]
     B = 32 * n
