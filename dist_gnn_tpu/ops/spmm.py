@@ -12,7 +12,39 @@ These jnp versions are the reference implementations and the CPU/test path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def pack_grouped(table: jnp.ndarray, group: int) -> jnp.ndarray:
+    """Pack G consecutive node rows per physical row: [N, F] → [N/G, G*F].
+
+    NOTE — measured a net LOSS for feature gathers on v5e (540k bf16 rows:
+    plain 6.2 ms, G=2 8.9 ms, G=8 18.2 ms): row gathers at this size are
+    already partially byte-bound, so G× byte amplification outweighs the
+    slice-count saving.  Kept as a utility (useful when rows are very
+    short, e.g. few-column label tables); pair with :func:`grouped_gather`.
+    """
+    N, F = table.shape
+    pad = (-N) % group
+    if pad:
+        table = jnp.concatenate([table, jnp.zeros((pad, F), table.dtype)])
+    return table.reshape((N + pad) // group, group * F)
+
+
+def grouped_gather(
+    packed: jnp.ndarray,  # [N/G, G*F] from pack_grouped
+    ids: jnp.ndarray,  # [L] node ids
+    group: int,
+    feature_dim: int,
+) -> jnp.ndarray:
+    """``table[ids]`` against a grouped-packed table: [L, F]."""
+    rows = packed[ids // group]  # [L, G*F]
+    sub = (ids % group).astype(jnp.int32)
+    rows = rows.reshape(rows.shape[0], group, feature_dim)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
+    sel = g_iota == sub[:, None, None]
+    return jnp.sum(jnp.where(sel, rows, 0), axis=1)
 
 
 def gather_mean(

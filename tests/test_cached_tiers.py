@@ -1,0 +1,153 @@
+"""Hot-tier caches over the sharded stores: correctness on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dist_gnn_tpu.cache.builder import build_cache_plan
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import INVALID_ID, HostGraph
+from dist_gnn_tpu.models import SAGE
+from dist_gnn_tpu.parallel import DistTrainer, ShardedFeatureStore, make_mesh
+from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_cached
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_hot_feature_tier_matches_plain(mesh):
+    rng = np.random.default_rng(0)
+    N, F = 600, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    n = mesh.shape["data"]
+    # each chip caches a random subset (different per chip, like selfless)
+    hot_ids = np.stack(
+        [rng.choice(N, 40, replace=False).astype(np.int32) for _ in range(n)]
+    )
+    plain = ShardedFeatureStore(feats, mesh)
+    cached = ShardedFeatureStore(feats, mesh, hot_ids=hot_ids)
+
+    L = 64
+    ids = rng.integers(0, N, n * L).astype(np.int32)
+    mask = np.ones(n * L, bool)
+
+    def run(store):
+        def body(args, ids_, mask_):
+            rows, ov = store.fetch_local(args, ids_, mask_, budget=L)  # lossless
+            return rows, jax.lax.psum(ov, "data")
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(store.shard_specs(), P("data"), P("data")),
+            out_specs=(P("data"), P()),
+            check_vma=False,
+        )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
+
+    r0, ov0 = run(plain)
+    r1, ov1 = run(cached)
+    assert int(ov0) == 0 and int(ov1) == 0
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), feats[ids], rtol=1e-6)
+    assert cached.hot_hit_rate(ids[:L], chip=0) > 0
+
+
+def test_hot_structure_tier_matches_base(mesh):
+    rng = np.random.default_rng(1)
+    N, E = 500, 5000
+    hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+    n = mesh.shape["data"]
+    hot_ids = np.stack(
+        [rng.choice(N, 30, replace=False).astype(np.int32) for _ in range(n)]
+    )
+    sg = ShardedGraph.build(hg, mesh, hot_ids=hot_ids)
+    assert sg.hot_sorted is not None
+
+    L, k = 32, 5
+    seeds = rng.integers(0, N, n * L).astype(np.int32)
+    mask = np.ones(n * L, bool)
+
+    def body(args, s, m):
+        nb, ov = sample_neighbors_cached(
+            sg, args, s, m, k, False, jax.random.key(7), budget=L  # lossless
+        )
+        return nb.ids, nb.mask, jax.lax.psum(ov, "data")
+
+    ids, nmask, ov = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sg.shard_specs(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,
+    )(sg.shard_args(), jnp.asarray(seeds), jnp.asarray(mask))
+    assert int(ov) == 0
+    ids, nmask = np.asarray(ids), np.asarray(nmask)
+    indptr = np.asarray(hg.indptr).astype(np.int64)
+    indices = np.asarray(hg.indices)
+    from collections import Counter
+
+    for i in range(n * L):
+        deg = int(indptr[seeds[i] + 1] - indptr[seeds[i]])
+        assert nmask[i].sum() == min(deg, k), (i, seeds[i], deg, nmask[i])
+        row = Counter(indices[indptr[seeds[i]] : indptr[seeds[i] + 1]].tolist())
+        got = Counter(ids[i][nmask[i]].tolist())
+        for g, c in got.items():
+            assert c <= row[g]
+
+
+def test_cache_builder_plan(mesh):
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=800, avg_degree=6, feature_dim=8, num_classes=4, seed=2
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    parts = np.array_split(arrays["train_idx"], n)
+    mode, s_hot, f_hot = build_cache_plan(
+        hg, meta["feature_dim"], parts, (3, 3), capacity_bytes=4000, policy="auto"
+    )
+    assert mode in ("selfish", "selfless")
+    assert s_hot.shape[0] == n and f_hot.shape[0] == n
+    # plans respect capacity loosely (policy tests cover exact accounting);
+    # here: ids valid and at least some caching happened
+    valid = f_hot[f_hot != INVALID_ID]
+    assert ((valid >= 0) & (valid < 800)).all()
+
+
+def test_dist_trainer_with_full_cache_stack(mesh):
+    """End-to-end: heat-driven hot tiers on both stores + training step."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=900, avg_degree=7, feature_dim=8, num_classes=4,
+        train_frac=0.4, seed=3,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    parts = np.array_split(arrays["train_idx"], n)
+    _, s_hot, f_hot = build_cache_plan(
+        hg, meta["feature_dim"], parts, (3, 3), capacity_bytes=20_000,
+        policy="selfish",
+    )
+    sg = ShardedGraph.build(hg, mesh, hot_ids=s_hot)
+    store = ShardedFeatureStore(arrays["features"], mesh, hot_ids=f_hot)
+    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+    labels = jax.device_put(labels_padded, NamedSharding(mesh, P("data", None)))
+
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistTrainer(model=model, fan_out=(3, 3), store=store, sgraph=sg)
+    state = trainer.init_state(jax.random.key(0))
+    B = 16 * n
+    train = arrays["train_idx"]
+    losses = []
+    for step in range(15):
+        sel = np.random.default_rng(step).choice(len(train), B, replace=False)
+        state, m = trainer.train_step(
+            state, sg.shard_args(), labels, jnp.asarray(train[sel]),
+            jnp.ones(B, bool), jax.random.key(4),
+        )
+        losses.append(float(m["loss"]))
+        assert int(m["overflow"]) == 0
+    assert losses[-1] < losses[0], losses

@@ -122,3 +122,16 @@ def test_dense_matches_sort_variant():
         sa = np.asarray(a.neigh_slots)
         sb = np.asarray(b.neigh_slots)
         np.testing.assert_array_equal(sa[mask], sb[mask])
+
+
+def test_grouped_gather_exact():
+    from dist_gnn_tpu.ops.spmm import grouped_gather, pack_grouped
+
+    rng = np.random.default_rng(3)
+    N, F = 101, 8  # non-multiple of group
+    table = jnp.asarray(rng.standard_normal((N, F)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, N, 57), jnp.int32)
+    for G in (2, 4):
+        packed = pack_grouped(table, G)
+        out = grouped_gather(packed, ids, G, F)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
