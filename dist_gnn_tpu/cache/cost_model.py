@@ -51,29 +51,30 @@ class CostModel:
         return self.bandwidth_hbm - (num_devices - 1) * self.bandwidth_ici
 
 
-def calibrate(feature_dim: int = 128, rows: int = 1 << 16) -> CostModel:
-    """Measure HBM gather bandwidth on the current default device.
+def calibrate(feature_dim: int = 128, rows: int = 1 << 17) -> CostModel:
+    """Measure random-row HBM gather bandwidth on the current device.
 
-    TPU replacement for ``scripts/bandwidth.py``; ICI/host tiers keep their
-    defaults unless a mesh / host path is available to probe.
+    TPU replacement for ``scripts/bandwidth.py``.  Uses the slope-based
+    chain timer (utils/timing.py) because block_until_ready does not await
+    completion on tunneled backends.  ICI/host tiers keep their defaults
+    unless a mesh / host path is available to probe.
     """
-    import time
-
     import jax
     import jax.numpy as jnp
+
+    from dist_gnn_tpu.utils.timing import measure_chain
 
     cm = CostModel()
     try:
         table = jnp.zeros((rows, feature_dim), jnp.float32)
         idx = jax.random.randint(jax.random.key(0), (rows,), 0, rows)
-        gather = jax.jit(lambda t, i: t[i])
-        gather(table, idx).block_until_ready()
-        t0 = time.perf_counter()
-        reps = 10
-        for _ in range(reps):
-            out = gather(table, idx)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+
+        @jax.jit
+        def step(carry):
+            out = table[(idx + carry[0].astype(jnp.int32)) % rows]
+            return (carry[0] + 1, out)
+
+        dt = measure_chain(step, (jnp.zeros(()), table), n_lo=3, n_hi=12)
         traffic = rows * feature_dim * 4 * 2  # read + write
         cm.bandwidth_hbm = traffic / dt
     except Exception:

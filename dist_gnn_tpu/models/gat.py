@@ -33,11 +33,13 @@ class GAT:
         dropout: float = 0.5,
         negative_slope: float = 0.2,
         param_dtype=jnp.float32,
+        compute_dtype=None,
     ):
         self.num_heads = num_heads
         self.negative_slope = negative_slope
         self.dropout = dropout
         self.param_dtype = param_dtype
+        self.compute_dtype = compute_dtype
         self.dims: List[tuple] = []
         for l in range(num_layers):
             d_in = in_feats if l == 0 else n_hidden * num_heads
@@ -68,11 +70,13 @@ class GAT:
         rng: jax.Array | None = None,
     ) -> jnp.ndarray:
         H = self.num_heads
-        h = x
+        cd = self.compute_dtype
+        h = x if cd is None else x.astype(cd)
         for l, block in enumerate(blocks):
             d_in, d_out, last = self.dims[l]
             p = params[f"layer{l}"]
-            z = jnp.dot(h, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+            w = p["w"] if cd is None else p["w"].astype(cd)
+            z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
             z = z.reshape(z.shape[0], H, d_out)  # [cap_src, H, d_out]
             z_dst = z[: block.num_dst]
             # SDDMM: per-edge unnormalised scores on the sampled block

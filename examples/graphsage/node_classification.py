@@ -103,7 +103,7 @@ def main():
     )
 
     model_cls = SAGE if args.model == "sage" else GAT
-    kwargs = dict(compute_dtype=compute_dtype) if args.model == "sage" else {}
+    kwargs = dict(compute_dtype=compute_dtype)
     model = model_cls(
         in_feats=meta["feature_dim"],
         n_hidden=args.hidden,
@@ -143,7 +143,7 @@ def main():
         )
         eval_fn = None  # dist eval via the same step's acc metric
     else:
-        graph = hg.to_device()
+        graph = hg.to_device(with_alias=args.bias and hg.probs is not None)
         features = jnp.asarray(np.asarray(arrays["features"])).astype(feat_dtype)
         labels_1d = jnp.asarray(np.asarray(arrays["labels"], dtype=np.int32))
         trainer = Trainer(

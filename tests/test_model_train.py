@@ -161,3 +161,54 @@ def test_full_graph_inference_matches_oracle():
         if l != 1:
             h = np.maximum(h, 0)
     np.testing.assert_allclose(out, h, rtol=1e-3, atol=1e-4)
+
+
+def test_biased_training_with_alias_tables():
+    """End-to-end Trainer on a weighted graph (alias sampler in the loop)."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1500, avg_degree=8, feature_dim=16, num_classes=4,
+        train_frac=0.4, with_probs=True, seed=5,
+    )
+    hg = HostGraph(
+        indptr=arrays["indptr"], indices=arrays["indices"], probs=arrays["probs"]
+    )
+    graph = hg.to_device(with_alias=True)
+    assert graph.alias_prob is not None
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = SAGE(meta["feature_dim"], 24, meta["num_classes"], 2, dropout=0.0)
+    trainer = Trainer(model=model, fan_out=(4, 4))
+    state = trainer.init_state(jax.random.key(0))
+    gen = SeedGenerator(arrays["train_idx"], 128, shuffle=True)
+    losses = []
+    for epoch in range(6):
+        for seeds, mask in gen.epoch(jax.random.key(30 + epoch)):
+            state, m = trainer.train_step(
+                state, graph, features, labels, seeds, mask, jax.random.key(epoch)
+            )
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_gat_end_to_end_training():
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1200, avg_degree=8, feature_dim=16, num_classes=4,
+        train_frac=0.4, seed=6,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = GAT(meta["feature_dim"], 16, meta["num_classes"], 2, num_heads=2,
+                dropout=0.0)
+    trainer = Trainer(model=model, fan_out=(4, 4))
+    state = trainer.init_state(jax.random.key(0))
+    gen = SeedGenerator(arrays["train_idx"], 128, shuffle=True)
+    losses = []
+    for epoch in range(6):
+        for seeds, mask in gen.epoch(jax.random.key(40 + epoch)):
+            state, m = trainer.train_step(
+                state, graph, features, labels, seeds, mask, jax.random.key(epoch)
+            )
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
