@@ -51,6 +51,62 @@ class CostModel:
         return self.bandwidth_hbm - (num_devices - 1) * self.bandwidth_ici
 
 
+def available_hbm_bytes(device=None, reserved: int = 2 << 30) -> int:
+    """Free HBM on ``device`` minus a safety headroom.
+
+    The cache-capacity input, replacing ``get_available_memory``
+    (``python/DistGNN/cache/cache_value.py:412-417``,
+    ``CUDAContext::GetCurrAllocated`` ``src/common/cuda_context.h:15``).
+    Falls back to a conservative constant when the backend exposes no
+    memory stats.
+    """
+    import jax
+
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        used = stats.get("bytes_in_use", 0)
+        if limit:
+            return max(int(limit) - int(used) - reserved, 0)
+    except Exception:
+        pass
+    return 8 << 30  # conservative default
+
+
+def calibrate_ici(mesh=None, axis_name: str = "data", mbytes: int = 8) -> float:
+    """Measure per-hop all-to-all bandwidth over the mesh (bytes/s/link).
+
+    TPU replacement for the NVLink probe in ``scripts/bandwidth.py``; used
+    to refresh ``CostModel.bandwidth_ici`` for the selfless policy scoring.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from dist_gnn_tpu.parallel.mesh import make_mesh
+    from dist_gnn_tpu.utils.timing import measure_chain
+
+    mesh = mesh or make_mesh()
+    n = mesh.shape[axis_name]
+    if n < 2:
+        return CostModel.bandwidth_ici
+    rows = mbytes * (1 << 20) // 512 // n * n
+    x = jnp.zeros((rows, 128), jnp.float32)
+
+    def body(blk):
+        return jax.lax.all_to_all(blk, axis_name, 0, 0, tiled=True) + 1.0
+
+    step = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None)
+        )
+    )
+    dt = measure_chain(step, x, n_lo=3, n_hi=12)
+    total_bytes = rows * 128 * 4
+    return total_bytes * (n - 1) / n / dt
+
+
 def calibrate(feature_dim: int = 128, rows: int = 1 << 17) -> CostModel:
     """Measure random-row HBM gather bandwidth on the current device.
 

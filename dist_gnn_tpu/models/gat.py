@@ -68,6 +68,7 @@ class GAT:
         *,
         train: bool = False,
         rng: jax.Array | None = None,
+        contiguous_first: bool = False,
     ) -> jnp.ndarray:
         H = self.num_heads
         cd = self.compute_dtype
@@ -82,12 +83,19 @@ class GAT:
             # SDDMM: per-edge unnormalised scores on the sampled block
             el = jnp.einsum("shd,hd->sh", z_dst, p["a_l"])  # [S, H]
             er = jnp.einsum("shd,hd->sh", z, p["a_r"])  # [cap_src, H]
-            er_n = er[block.neigh_slots]  # [S, k, H]
+            S_, k_ = block.neigh_mask.shape
+            if l == 0 and contiguous_first:
+                er_n = er[block.num_dst :].reshape(S_, k_, H)
+            else:
+                er_n = er[block.neigh_slots]  # [S, k, H]
             scores = jax.nn.leaky_relu(
                 el[:, None, :] + er_n, self.negative_slope
             )
             alpha = masked_segment_softmax(scores, block.neigh_mask)  # [S, k, H]
-            z_n = z[block.neigh_slots]  # [S, k, H, d_out]
+            if l == 0 and contiguous_first:
+                z_n = z[block.num_dst :].reshape(S_, k_, H, d_out)
+            else:
+                z_n = z[block.neigh_slots]  # [S, k, H, d_out]
             out = jnp.sum(z_n * alpha[..., None], axis=1)  # [S, H, d_out]
             if last:
                 h = jnp.mean(out, axis=1) + p["b"].reshape(H, d_out).mean(0)

@@ -88,17 +88,29 @@ class SAGE:
         *,
         train: bool = False,
         rng: jax.Array | None = None,
+        contiguous_first: bool = False,
     ) -> jnp.ndarray:
         """blocks must be ordered *input-first* (deepest layer first), i.e.
         ``reversed(sampler output)``; x are features of blocks[0]'s frontier.
-        Returns logits for blocks[-1]'s seeds (the mini-batch)."""
+        Returns logits for blocks[-1]'s seeds (the mini-batch).
+
+        ``contiguous_first``: the first block came from a dedup-free hop
+        (sampler.py ``_no_dedup_block``) whose slots are exactly
+        ``S + arange(B*k)`` — aggregate by reshape instead of gather."""
         assert len(blocks) == len(self.dims)
         cd = self.compute_dtype
         h = x if cd is None else x.astype(cd)
         for l, block in enumerate(blocks):
             p = params[f"layer{l}"]
             h_dst = h[: block.num_dst]
-            h_mean = gather_mean(h, block.neigh_slots, block.neigh_mask)
+            if l == 0 and contiguous_first:
+                B, k = block.neigh_mask.shape
+                nb = h[block.num_dst :].reshape(B, k, h.shape[1])
+                m = block.neigh_mask[..., None].astype(h.dtype)
+                cnt = jnp.sum(block.neigh_mask, axis=1, dtype=h.dtype)[:, None]
+                h_mean = jnp.sum(nb * m, axis=1) / jnp.maximum(cnt, 1)
+            else:
+                h_mean = gather_mean(h, block.neigh_slots, block.neigh_mask)
             h = self._layer_forward(p, h_dst, h_mean).astype(h.dtype)
             if l != len(self.dims) - 1:
                 h = jax.nn.relu(h)

@@ -27,7 +27,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dist_gnn_tpu.graph import Graph, HostGraph, INVALID_ID
 from dist_gnn_tpu.ops import prng
-from dist_gnn_tpu.ops.sampling import SampledNeighbors, sample_biased, sample_uniform
+from dist_gnn_tpu.ops.sampling import (
+    SampledNeighbors,
+    sample_biased,
+    sample_biased_alias,
+    sample_uniform,
+)
 from dist_gnn_tpu.parallel.feature_store import (
     make_request,
     request_budget,
@@ -60,11 +65,16 @@ class ShardedGraph:
     hot_indices: Optional[jnp.ndarray] = None  # [n, hot_nnz]
     hot_probs: Optional[jnp.ndarray] = None  # [n, hot_nnz] or None
     hot_max_degree: int = 0
+    # Walker alias tables per shard for O(1) weighted draws (optional)
+    alias_prob: Optional[jnp.ndarray] = None  # [n, max_nnz]
+    alias_idx: Optional[jnp.ndarray] = None  # [n, max_nnz]
 
     def shard_args(self):
         args = [self.indptr, self.indices]
         if self.probs is not None:
             args.append(self.probs)
+        if self.alias_prob is not None:
+            args += [self.alias_prob, self.alias_idx]
         if self.hot_sorted is not None:
             args += [self.hot_sorted, self.hot_indptr, self.hot_indices]
             if self.hot_probs is not None:
@@ -82,6 +92,11 @@ class ShardedGraph:
         indptr = blks.pop(0)
         indices = blks.pop(0)
         probs = blks.pop(0) if self.probs is not None else None
+        alias = None
+        if self.alias_prob is not None:
+            ap = blks.pop(0)
+            ai = blks.pop(0)
+            alias = (ap, ai)
         hot = None
         if self.hot_sorted is not None:
             hs = blks.pop(0)
@@ -89,7 +104,7 @@ class ShardedGraph:
             hi = blks.pop(0)
             hpr = blks.pop(0) if self.hot_probs is not None else None
             hot = (hs, hp, hi, hpr)
-        return indptr, indices, probs, hot
+        return indptr, indices, probs, hot, alias
 
     @staticmethod
     def build(
@@ -131,6 +146,22 @@ class ShardedGraph:
             if probs_mat is not None:
                 probs_mat[d, : len(sub_probs[d])] = sub_probs[d]
         sh = NamedSharding(mesh, P(axis_name, None))
+        alias_kwargs = {}
+        if hg.probs is not None:
+            ap_mat = np.zeros((n, max_nnz), np.float32)
+            ai_mat = np.zeros((n, max_nnz), np.int32)
+            for d in range(n):
+                nnz_d = len(sub_idx[d])
+                if nnz_d:
+                    apr, aal = native.build_alias(
+                        sub_ptrs[d].astype(np.int64), sub_probs[d]
+                    )
+                    ap_mat[d, :nnz_d] = apr
+                    ai_mat[d, :nnz_d] = aal
+            alias_kwargs = dict(
+                alias_prob=jax.device_put(ap_mat, sh),
+                alias_idx=jax.device_put(ai_mat, sh),
+            )
         hot_kwargs = {}
         if hot_ids is not None:
             assert hot_ids.shape[0] == n
@@ -185,12 +216,17 @@ class ShardedGraph:
             shard_size=shard,
             num_nodes=hg.num_nodes,
             max_degree=hg.max_degree,
+            **alias_kwargs,
             **hot_kwargs,
         )
 
-    def local_graph(self, indptr_blk, indices_blk, probs_blk) -> Graph:
+    def local_graph(self, indptr_blk, indices_blk, probs_blk, alias_blk=None) -> Graph:
         """Per-chip Graph view over the local sub-CSR (call in shard_map
         with the [1, ...] blocks)."""
+        ap = ai = None
+        if alias_blk is not None:
+            ap = alias_blk[0].reshape(-1)
+            ai = alias_blk[1].reshape(-1)
         return Graph(
             indptr=indptr_blk.reshape(-1),
             indices=indices_blk.reshape(-1),
@@ -198,6 +234,8 @@ class ShardedGraph:
             num_nodes=self.shard_size,
             num_edges=int(self.indices.shape[1]),
             max_degree=self.max_degree,
+            alias_prob=ap,
+            alias_idx=ai,
         )
 
 
@@ -219,11 +257,11 @@ def sample_neighbors_cached(
     reshaped for TPU: the probe is a sorted-table binary search and the
     peer tier is the batched exchange, not a pointer deref.
     """
-    indptr_blk, indices_blk, probs_blk, hot = sgraph.unpack(shard_blks)
+    indptr_blk, indices_blk, probs_blk, hot, alias_blk = sgraph.unpack(shard_blks)
     if hot is None:
         return sample_neighbors_sharded(
             sgraph, indptr_blk, indices_blk, probs_blk, seeds, seed_mask,
-            k, replace, key, budget=budget,
+            k, replace, key, budget=budget, alias_blk=alias_blk,
         )
     hs, hp, hi, hpr = hot
     hs = hs.reshape(-1)
@@ -251,7 +289,7 @@ def sample_neighbors_cached(
     miss_seeds = jnp.where(hit, INVALID_ID, seeds)
     nb_miss, overflow = sample_neighbors_sharded(
         sgraph, indptr_blk, indices_blk, probs_blk, miss_seeds,
-        seed_mask & ~hit, k, replace, key, budget=budget,
+        seed_mask & ~hit, k, replace, key, budget=budget, alias_blk=alias_blk,
     )
     ids = jnp.where(hit[:, None], nb_hot.ids, nb_miss.ids)
     mask = jnp.where(hit[:, None], nb_hot.mask, nb_miss.mask)
@@ -269,6 +307,7 @@ def sample_neighbors_sharded(
     replace: bool,
     key: jax.Array,
     budget: Optional[int] = None,
+    alias_blk=None,
 ) -> Tuple[SampledNeighbors, jnp.ndarray]:
     """Owner-side distributed sampling (call inside shard_map).
 
@@ -289,11 +328,14 @@ def sample_neighbors_sharded(
     local_rows = jnp.where(
         req_flat == INVALID_ID, INVALID_ID, req_flat - base
     ).astype(jnp.int32)
-    lg = sgraph.local_graph(indptr_blk, indices_blk, probs_blk)
+    lg = sgraph.local_graph(indptr_blk, indices_blk, probs_blk, alias_blk)
     # decorrelate per-owner streams
     owner_key = jax.random.fold_in(key, me)
     if lg.probs is not None:
-        nb = sample_biased(lg, local_rows, k, replace, owner_key)
+        if lg.alias_prob is not None:
+            nb = sample_biased_alias(lg, local_rows, k, replace, owner_key)
+        else:
+            nb = sample_biased(lg, local_rows, k, replace, owner_key)
     else:
         nb = sample_uniform(lg, local_rows, k, replace, owner_key)
     served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)

@@ -161,6 +161,56 @@ class DistTrainer:
         )
         return new_state, {"loss": loss, "acc": acc, "overflow": overflow}
 
+    def _per_chip_eval(self, params, graph, store_args, labels_shard, seeds, seed_mask, key):
+        k_sample = jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
+        if self.sgraph is not None:
+            blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
+        else:
+            blocks = sample_blocks(
+                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+            )
+        inp = blocks[-1]
+        budget = request_budget(
+            inp.frontier.shape[0], self.store.num_shards, self.store.budget_slack
+        )
+        feats, _ = self.store.fetch_local(
+            store_args, inp.frontier, inp.frontier_mask, budget=budget
+        )
+        lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
+        lab = lab[:, 0].astype(jnp.int32)
+        logits = self.model.apply(params, tuple(reversed(blocks)), feats, train=False)
+        correct = (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32) == lab
+        ) & seed_mask
+        return (
+            jax.lax.psum(jnp.sum(correct.astype(jnp.int32)), self.axis_name),
+            jax.lax.psum(jnp.sum(seed_mask.astype(jnp.int32)), self.axis_name),
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def eval_step(self, params, graph, labels, seeds, seed_mask, key):
+        """Distributed sampled eval: (correct, total), replicated."""
+        ax = self.axis_name
+        if self.sgraph is not None:
+            graph_spec = self.sgraph.shard_specs()
+        else:
+            graph_spec = jax.tree.map(lambda _: P(), graph)
+        return jax.shard_map(
+            self._per_chip_eval,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), params),
+                graph_spec,
+                self.store.shard_specs(),
+                P(ax, None),
+                P(ax),
+                P(ax),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, graph, self.store.shard_args(), labels, seeds, seed_mask, key)
+
     def store_labels_fetch(self, labels_shard, seeds, seed_mask):
         from dist_gnn_tpu.parallel.feature_store import exchange_gather
 

@@ -67,7 +67,8 @@ class Trainer:
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
         logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng
+            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
+            contiguous_first=not self.dedup_last,
         )
         labels = jnp.where(seed_mask, labels, 0)
         ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -141,7 +142,10 @@ class Trainer:
         in_mask = blocks[-1].frontier_mask
         safe = jnp.where(in_mask, input_nodes, 0)
         feats = jnp.where(in_mask[:, None], features[safe], 0)
-        logits = self.model.apply(params, tuple(reversed(blocks)), feats, train=False)
+        logits = self.model.apply(
+            params, tuple(reversed(blocks)), feats, train=False,
+            contiguous_first=not self.dedup_last,
+        )
         batch_labels = jnp.where(seed_mask, labels[jnp.where(seed_mask, seeds, 0)], 0)
         correct = (
             jnp.argmax(logits, axis=-1).astype(jnp.int32) == batch_labels

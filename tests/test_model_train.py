@@ -212,3 +212,28 @@ def test_gat_end_to_end_training():
             )
             losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_contiguous_first_equals_gather_path():
+    from dist_gnn_tpu.sampler import sample_blocks
+
+    rng = np.random.default_rng(12)
+    N, E = 800, 8000
+    hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+    g = hg.to_device()
+    seeds = jnp.asarray(rng.integers(0, N, 64), jnp.int32)
+    blocks = sample_blocks(
+        g, seeds, jnp.ones(64, bool), (3, 3), False, jax.random.key(0),
+        dedup_last=False,
+    )
+    model = SAGE(8, 8, 3, 2, dropout=0.0)
+    params = model.init(jax.random.key(1))
+    x = jnp.asarray(
+        rng.standard_normal((blocks[-1].frontier.shape[0], 8)), jnp.float32
+    )
+    rev = tuple(reversed(blocks))
+    out_fast = model.apply(params, rev, x, contiguous_first=True)
+    out_ref = model.apply(params, rev, x, contiguous_first=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+    )

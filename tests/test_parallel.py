@@ -139,3 +139,28 @@ class TestDistTrainer:
         p_new = jax.tree.leaves(state2.params)[0]
         p_old = jax.tree.leaves(state.params)[0]
         assert not np.allclose(np.asarray(p_new), np.asarray(p_old))
+
+
+def test_dist_eval_step(mesh):
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=800, avg_degree=6, feature_dim=8, num_classes=4, seed=9
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    store = ShardedFeatureStore(arrays["features"], mesh)
+    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    labels = jax.device_put(labels_padded, NamedSharding(mesh, P("data", None)))
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistTrainer(model=model, fan_out=(3, 3), store=store)
+    state = trainer.init_state(jax.random.key(0))
+    n = mesh.shape["data"]
+    B = 16 * n
+    seeds = jnp.asarray(arrays["valid_idx"][np.arange(B) % len(arrays["valid_idx"])])
+    c, t = trainer.eval_step(
+        state.params, graph, labels, seeds, jnp.ones(B, bool), jax.random.key(1)
+    )
+    assert int(t) == B
+    assert 0 <= int(c) <= B
