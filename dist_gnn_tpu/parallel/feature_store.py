@@ -178,9 +178,16 @@ class ShardedFeatureStore:
         axis_name: str = "data",
         budget_slack: float = 2.0,
         hot_ids: Optional[np.ndarray] = None,
+        quantize: bool = False,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
+        self.quantized = quantize
+        self.out_dim = features.shape[1]
+        if quantize:
+            from dist_gnn_tpu.ops.quantize import quantize_pack
+
+            features = quantize_pack(features)
         self.num_rows = features.shape[0]
         n = mesh.shape[axis_name]
         self.num_shards = n
@@ -211,7 +218,15 @@ class ShardedFeatureStore:
 
     @property
     def feature_dim(self) -> int:
-        return self.features.shape[1]
+        return self.out_dim
+
+    def dequantize(self, rows: jnp.ndarray, out_dtype=jnp.float32) -> jnp.ndarray:
+        """Undo int8 row packing after a fetch (no-op when not quantized)."""
+        if not self.quantized:
+            return rows
+        from dist_gnn_tpu.ops.quantize import dequantize_unpack
+
+        return dequantize_unpack(rows, out_dtype)
 
     def shard_args(self):
         """Array args to pass through shard_map, matched by shard_specs()."""

@@ -140,6 +140,7 @@ class DistTrainer:
         feats, overflow = self.store.fetch_local(
             store_args, inp.frontier, inp.frontier_mask, budget=budget
         )
+        feats = self.store.dequantize(feats)
         # labels live in the same node-range sharding (1-col store)
         lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
         lab = lab[:, 0].astype(jnp.int32)
@@ -176,6 +177,7 @@ class DistTrainer:
         feats, _ = self.store.fetch_local(
             store_args, inp.frontier, inp.frontier_mask, budget=budget
         )
+        feats = self.store.dequantize(feats)
         lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
         lab = lab[:, 0].astype(jnp.int32)
         logits = self.model.apply(params, tuple(reversed(blocks)), feats, train=False)

@@ -151,3 +151,40 @@ def test_dist_trainer_with_full_cache_stack(mesh):
         losses.append(float(m["loss"]))
         assert int(m["overflow"]) == 0
     assert losses[-1] < losses[0], losses
+
+
+def test_quantized_sharded_store(mesh):
+    """int8-packed rows ride the exchange + hot tier unchanged and
+    dequantize within 1% relative error; training on them still learns."""
+    rng = np.random.default_rng(10)
+    N, F = 700, 12
+    feats = (rng.standard_normal((N, F)) * rng.uniform(0.5, 5, (N, 1))).astype(
+        np.float32
+    )
+    n = mesh.shape["data"]
+    hot_ids = np.stack(
+        [rng.choice(N, 50, replace=False).astype(np.int32) for _ in range(n)]
+    )
+    store = ShardedFeatureStore(feats, mesh, hot_ids=hot_ids, quantize=True)
+    assert store.feature_dim == F
+
+    L = 48
+    ids = rng.integers(0, N, n * L).astype(np.int32)
+    mask = np.ones(n * L, bool)
+
+    def body(args, ids_, mask_):
+        rows, ov = store.fetch_local(args, ids_, mask_, budget=L)
+        return store.dequantize(rows), jax.lax.psum(ov, "data")
+
+    rows, ov = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(store.shard_specs(), P("data"), P("data")),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
+    assert int(ov) == 0
+    got = np.asarray(rows)
+    ref = feats[ids]
+    rel = np.abs(got - ref).max(axis=1) / np.maximum(np.abs(ref).max(axis=1), 1e-9)
+    assert rel.max() < 0.01, rel.max()
