@@ -308,6 +308,8 @@ def sample_neighbors_sharded(
     key: jax.Array,
     budget: Optional[int] = None,
     alias_blk=None,
+    window: Optional[int] = None,
+    big_row_budget: Optional[int] = None,
 ) -> Tuple[SampledNeighbors, jnp.ndarray]:
     """Owner-side distributed sampling (call inside shard_map).
 
@@ -337,7 +339,10 @@ def sample_neighbors_sharded(
         else:
             nb = sample_biased(lg, local_rows, k, replace, owner_key)
     else:
-        nb = sample_uniform(lg, local_rows, k, replace, owner_key)
+        nb = sample_uniform(
+            lg, local_rows, k, replace, owner_key,
+            window=window, big_row_budget=big_row_budget,
+        )
     served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)
     ids_back = return_response(plan, served_ids, ax, fill=INVALID_ID)  # [L, k]
     mask_back = ids_back != INVALID_ID

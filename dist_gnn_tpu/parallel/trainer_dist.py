@@ -48,6 +48,9 @@ class DistTrainer:
     # None → structure replicated per chip (fits-in-HBM case); a
     # ShardedGraph → owner-side all-to-all sampling (papers100M-scale case)
     sgraph: Optional[ShardedGraph] = None
+    dedup_last: bool = True  # False = dedup-free final hop (faster, same math)
+    sampler_window: Optional[int] = None  # windowed edge fetch (owner side)
+    sampler_big_budget: Optional[int] = None
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -66,7 +69,8 @@ class DistTrainer:
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
         logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng
+            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
+            contiguous_first=not self.dedup_last,
         )
         labels = jnp.where(seed_mask, labels, 0)
         ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -91,6 +95,8 @@ class DistTrainer:
         the hot cache / all-to-all sharded structure instead of a local HBM
         gather.
         """
+        from dist_gnn_tpu.sampler import _no_dedup_block
+
         blocks = []
         keys = jax.random.split(key, len(self.fan_out))
         for i, k in enumerate(reversed(list(self.fan_out))):
@@ -103,6 +109,9 @@ class DistTrainer:
                 self.replace,
                 keys[i],
             )
+            if not self.dedup_last and i == len(self.fan_out) - 1:
+                blocks.append(_no_dedup_block(seeds, seed_mask, nb))
+                break
             rl = unique_and_relabel(seeds, nb.ids, nb.mask)
             blocks.append(
                 Block(
@@ -132,7 +141,10 @@ class DistTrainer:
             blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
         else:
             blocks = sample_blocks(
-                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
+                dedup_last=self.dedup_last,
+                window=self.sampler_window,
+                big_row_budget=self.sampler_big_budget,
             )
         inp = blocks[-1]
         L = inp.frontier.shape[0]
@@ -168,7 +180,10 @@ class DistTrainer:
             blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
         else:
             blocks = sample_blocks(
-                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample
+                graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
+                dedup_last=self.dedup_last,
+                window=self.sampler_window,
+                big_row_budget=self.sampler_big_budget,
             )
         inp = blocks[-1]
         budget = request_budget(
@@ -180,7 +195,10 @@ class DistTrainer:
         feats = self.store.dequantize(feats)
         lab, _ = self.store_labels_fetch(labels_shard, seeds, seed_mask)
         lab = lab[:, 0].astype(jnp.int32)
-        logits = self.model.apply(params, tuple(reversed(blocks)), feats, train=False)
+        logits = self.model.apply(
+            params, tuple(reversed(blocks)), feats, train=False,
+            contiguous_first=not self.dedup_last,
+        )
         correct = (
             jnp.argmax(logits, axis=-1).astype(jnp.int32) == lab
         ) & seed_mask

@@ -93,3 +93,33 @@ def test_dist_trainer_sharded_structure_learns(mesh):
         losses.append(float(m["loss"]))
         assert int(m["overflow"]) == 0
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_dist_trainer_dedup_free_last_hop(mesh):
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1000, avg_degree=8, feature_dim=8, num_classes=4,
+        train_frac=0.5, seed=11,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    sg = ShardedGraph.build(hg, mesh)
+    store = ShardedFeatureStore(arrays["features"], mesh)
+    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+    labels = jax.device_put(labels_padded, NamedSharding(mesh, P("data", None)))
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistTrainer(
+        model=model, fan_out=(3, 3), store=store, sgraph=sg, dedup_last=False
+    )
+    state = trainer.init_state(jax.random.key(0))
+    n = mesh.shape["data"]
+    B = 16 * n
+    train = arrays["train_idx"]
+    losses = []
+    for step in range(15):
+        sel = np.random.default_rng(step).choice(len(train), B, replace=False)
+        state, m = trainer.train_step(
+            state, sg.shard_args(), labels, jnp.asarray(train[sel]),
+            jnp.ones(B, bool), jax.random.key(5),
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
