@@ -65,6 +65,8 @@ class ShardedGraph:
     hot_indices: Optional[jnp.ndarray] = None  # [n, hot_nnz]
     hot_probs: Optional[jnp.ndarray] = None  # [n, hot_nnz] or None
     hot_max_degree: int = 0
+    hot_alias_prob: Optional[jnp.ndarray] = None  # [n, hot_nnz]
+    hot_alias_idx: Optional[jnp.ndarray] = None  # [n, hot_nnz]
     # Walker alias tables per shard for O(1) weighted draws (optional)
     alias_prob: Optional[jnp.ndarray] = None  # [n, max_nnz]
     alias_idx: Optional[jnp.ndarray] = None  # [n, max_nnz]
@@ -79,6 +81,8 @@ class ShardedGraph:
             args += [self.hot_sorted, self.hot_indptr, self.hot_indices]
             if self.hot_probs is not None:
                 args.append(self.hot_probs)
+            if self.hot_alias_prob is not None:
+                args += [self.hot_alias_prob, self.hot_alias_idx]
         return tuple(args)
 
     def shard_specs(self):
@@ -103,7 +107,12 @@ class ShardedGraph:
             hp = blks.pop(0)
             hi = blks.pop(0)
             hpr = blks.pop(0) if self.hot_probs is not None else None
-            hot = (hs, hp, hi, hpr)
+            hal = None
+            if self.hot_alias_prob is not None:
+                hap = blks.pop(0)
+                hai = blks.pop(0)
+                hal = (hap, hai)
+            hot = (hs, hp, hi, hpr, hal)
         return indptr, indices, probs, hot, alias
 
     @staticmethod
@@ -198,7 +207,21 @@ class ShardedGraph:
                     hot_pr[d, : len(spr)] = spr
             if hot_nnz < 2**31:
                 hot_ptr = hot_ptr.astype(np.int32)
+            hot_alias_kwargs = {}
+            if hg.probs is not None:
+                hap_mat = np.zeros((n, hot_nnz), np.float32)
+                hai_mat = np.zeros((n, hot_nnz), np.int32)
+                for d, (sp, si, spr) in enumerate(sub):
+                    if len(si):
+                        apr, aal = native.build_alias(sp.astype(np.int64), spr)
+                        hap_mat[d, : len(si)] = apr
+                        hai_mat[d, : len(si)] = aal
+                hot_alias_kwargs = dict(
+                    hot_alias_prob=jax.device_put(hap_mat, sh),
+                    hot_alias_idx=jax.device_put(hai_mat, sh),
+                )
             hot_kwargs = dict(
+                **hot_alias_kwargs,
                 hot_sorted=jax.device_put(hot_sorted, sh),
                 hot_indptr=jax.device_put(hot_ptr, sh),
                 hot_indices=jax.device_put(hot_idx, sh),
@@ -263,7 +286,7 @@ def sample_neighbors_cached(
             sgraph, indptr_blk, indices_blk, probs_blk, seeds, seed_mask,
             k, replace, key, budget=budget, alias_blk=alias_blk,
         )
-    hs, hp, hi, hpr = hot
+    hs, hp, hi, hpr, hal = hot
     hs = hs.reshape(-1)
     C = hs.shape[0]
     pos = jnp.searchsorted(hs, seeds)
@@ -277,12 +300,17 @@ def sample_neighbors_cached(
         num_nodes=C,
         num_edges=int(hi.size),
         max_degree=sgraph.hot_max_degree,
+        alias_prob=hal[0].reshape(-1) if hal is not None else None,
+        alias_idx=hal[1].reshape(-1) if hal is not None else None,
     )
     local_rows = jnp.where(hit, pos_c, INVALID_ID).astype(jnp.int32)
     me = jax.lax.axis_index(sgraph.axis_name)
     hot_key = jax.random.fold_in(jax.random.fold_in(key, 1), me)
     if hot_graph.probs is not None:
-        nb_hot = sample_biased(hot_graph, local_rows, k, replace, hot_key)
+        if hot_graph.alias_prob is not None:
+            nb_hot = sample_biased_alias(hot_graph, local_rows, k, replace, hot_key)
+        else:
+            nb_hot = sample_biased(hot_graph, local_rows, k, replace, hot_key)
     else:
         nb_hot = sample_uniform(hot_graph, local_rows, k, replace, hot_key)
 

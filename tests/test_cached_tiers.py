@@ -188,3 +188,48 @@ def test_quantized_sharded_store(mesh):
     ref = feats[ids]
     rel = np.abs(got - ref).max(axis=1) / np.maximum(np.abs(ref).max(axis=1), 1e-9)
     assert rel.max() < 0.01, rel.max()
+
+
+def test_biased_cached_sharded_sampling(mesh):
+    """Weighted sampling through the full cached distributed path: hot
+    alias tables + base shard alias tables, distribution sanity."""
+    rng = np.random.default_rng(12)
+    N = 300
+    # star graph: node 0 has 8 weighted neighbors; everyone else 2
+    src, dst, w = [], [], []
+    for j in range(8):
+        src.append(j + 1); dst.append(0); w.append(float(2 ** (j // 2)))
+    for v in range(1, N):
+        for j in range(2):
+            src.append((v + j + 1) % N); dst.append(v); w.append(1.0)
+    hg = HostGraph.from_coo(
+        np.asarray(src), np.asarray(dst), N, probs=np.asarray(w, np.float32)
+    )
+    n = mesh.shape["data"]
+    hot_ids = np.tile(np.arange(16, dtype=np.int32), (n, 1))  # node 0 is hot
+    sg = ShardedGraph.build(hg, mesh, hot_ids=hot_ids)
+    assert sg.hot_alias_prob is not None and sg.alias_prob is not None
+
+    L, k = 64, 3
+    seeds = np.zeros(n * L, np.int32)  # all query the weighted hub
+    def body(args, s, m):
+        nb, ov = sample_neighbors_cached(
+            sg, args, s, m, k, False, jax.random.key(3), budget=L
+        )
+        return nb.ids, nb.mask, jax.lax.psum(ov, "data")
+
+    ids, msk, ov = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sg.shard_specs(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,
+    )(sg.shard_args(), jnp.asarray(seeds), jnp.ones(n * L, bool))
+    ids, msk = np.asarray(ids), np.asarray(msk)
+    assert int(ov) == 0
+    assert msk.all()
+    # neighbors of 0 are 1..8; heaviest (7, 8 with w=8) appear most
+    flat = ids[msk]
+    assert set(flat.tolist()) <= set(range(1, 9))
+    counts = np.bincount(flat, minlength=9)
+    assert counts[7] + counts[8] > counts[1] + counts[2]
