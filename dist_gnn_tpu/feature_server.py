@@ -62,9 +62,10 @@ class CachedFeatureStore:
     """
 
     def __init__(self, host_features: np.ndarray, cache_nids: np.ndarray):
-        cache_nids = np.asarray(cache_nids, dtype=np.int32)
-        self.table = SortedIdTable.build(cache_nids)
-        self.hot = jnp.asarray(host_features[self.table.sorted_ids_np])
+        # sort + dedup so slot i of the hot matrix is sorted_ids[i]
+        cache_sorted = np.unique(np.asarray(cache_nids, dtype=np.int32))
+        self.table = SortedIdTable.build(cache_sorted)
+        self.hot = jnp.asarray(host_features[cache_sorted])
         self.host_features = host_features
 
     @property

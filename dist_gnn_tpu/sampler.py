@@ -208,8 +208,23 @@ class NeighborSampler:
     graph: Graph
     fan_out: Tuple[int, ...]
     replace: bool = False
+    relabel_mode: str = "auto"
+    frontier_caps: Optional[Tuple[int, ...]] = None
+    dedup_last: bool = True
+    window: Optional[int] = None
+    big_row_budget: Optional[int] = None
 
     def sample(self, seeds, seed_mask, key) -> Tuple[Block, ...]:
         return sample_blocks(
-            self.graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key
+            self.graph,
+            seeds,
+            seed_mask,
+            tuple(self.fan_out),
+            self.replace,
+            key,
+            relabel_mode=self.relabel_mode,
+            frontier_caps=self.frontier_caps,
+            dedup_last=self.dedup_last,
+            window=self.window,
+            big_row_budget=self.big_row_budget,
         )

@@ -237,3 +237,25 @@ def test_contiguous_first_equals_gather_path():
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_cached_feature_store_host_tier():
+    """Single-chip hot-HBM + host-numpy cold tier store (UVA-miss analog)."""
+    from dist_gnn_tpu.feature_server import CachedFeatureStore, HBMFeatureStore
+
+    rng = np.random.default_rng(13)
+    N, F = 400, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    hot = rng.choice(N, 60, replace=False).astype(np.int32)
+    store = CachedFeatureStore(feats, hot)
+    ids = rng.integers(0, N, 100).astype(np.int32)
+    mask = rng.random(100) < 0.9
+    ids_in = np.where(mask, ids, INVALID_ID).astype(np.int32)
+    out = np.asarray(store.get_features(jnp.asarray(ids_in), jnp.asarray(mask)))
+    expect = np.where(mask[:, None], feats[np.where(mask, ids, 0)], 0)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+    assert 0 < store.hit_rate(ids) < 1
+
+    plain = HBMFeatureStore(jnp.asarray(feats))
+    out2 = np.asarray(plain.get_features(jnp.asarray(ids_in), jnp.asarray(mask)))
+    np.testing.assert_allclose(out2, expect, rtol=1e-6)
