@@ -74,6 +74,10 @@ def full_graph_inference(
     indptr_np = np.asarray(hg.indptr)
     h = features
 
+    assert hasattr(model, "_layer_forward"), (
+        "full_graph_inference currently supports mean-aggregation models "
+        "(SAGE); GAT eval uses sampled eval_step with large fanout"
+    )
     for l in range(len(model.dims)):
         p = params[f"layer{l}"]
         outs = []
