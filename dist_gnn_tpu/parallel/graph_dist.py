@@ -122,7 +122,9 @@ class ShardedGraph:
         axis_name: str = "data",
         hot_ids: Optional[np.ndarray] = None,  # [n, C], INVALID padded
     ) -> "ShardedGraph":
-        n = mesh.shape[axis_name]
+        from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
+
+        n = _axis_size(mesh, axis_name)
         shard = shard_rows(hg.num_nodes, n)
         indptr64 = np.asarray(hg.indptr, dtype=np.int64)
         sub_ptrs, sub_idx, sub_probs = [], [], []

@@ -48,3 +48,13 @@ def initialize_distributed(**kwargs) -> None:
     the unique-id broadcast — JAX's coordinator handles rendezvous.
     """
     jax.distributed.initialize(**kwargs)
+
+
+def axis_size(mesh: Mesh, axis) -> int:
+    """Size of a (possibly tuple) mesh axis."""
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]

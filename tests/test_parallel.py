@@ -164,3 +164,36 @@ def test_dist_eval_step(mesh):
     )
     assert int(t) == B
     assert 0 <= int(c) <= B
+
+
+def test_two_tier_mesh_exchange():
+    """Stores sharded over a ('host', 'data') product axis — the multi-host
+    mesh shape — exchange correctly on a (2, 4) CPU mesh."""
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devices, ("host", "data"))
+    ax = ("host", "data")
+    rng = np.random.default_rng(4)
+    N, F = 640, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    store = ShardedFeatureStore(feats, mesh2, axis_name=ax)
+    assert store.num_shards == 8
+    L = 32
+    ids = rng.integers(0, N, 8 * L).astype(np.int32)
+    mask = np.ones(8 * L, bool)
+    from jax.sharding import PartitionSpec as P
+
+    def body(args, ids_, mask_):
+        rows, ov = store.fetch_local(args, ids_, mask_, budget=L)
+        return rows, jax.lax.psum(ov, ax)
+
+    rows, ov = jax.shard_map(
+        body,
+        mesh=mesh2,
+        in_specs=(store.shard_specs(), P(ax), P(ax)),
+        out_specs=(P(ax), P()),
+        check_vma=False,
+    )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(rows), feats[ids], rtol=1e-6)
