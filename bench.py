@@ -81,7 +81,8 @@ def main():
         frontier_caps=None,
         dedup_last=False,
         sampler_window=128,
-        sampler_big_budget=2048,
+        sampler_big_budget=8192,  # covers this graph's hub-row count (~3.4k
+        # frontier rows exceed the window; 2048 dropped 4.7% of edges)
     )
     state = trainer.init_state(jax.random.key(0))
 
@@ -125,8 +126,19 @@ def main():
     from dist_gnn_tpu.sampler import sample_blocks
 
     seeds, mask = next(gen.epoch(jax.random.key(101)))
-    blocks = sample_blocks(graph, seeds, mask, fan_out, False, jax.random.key(7))
+    blocks = sample_blocks(
+        graph, seeds, mask, fan_out, False, jax.random.key(7),
+        dedup_last=False, window=128, big_row_budget=8192,
+    )
     edges_per_step = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks))
+    # fidelity check: the windowed sampler must not drop edges vs exact
+    blocks_exact = sample_blocks(
+        graph, seeds, mask, fan_out, False, jax.random.key(7), dedup_last=False
+    )
+    edges_exact = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks_exact))
+    assert edges_per_step == edges_exact, (
+        f"windowed sampler dropped edges: {edges_per_step} vs {edges_exact}"
+    )
 
     edges_per_s = edges_per_step * n_steps / dt
     result = {

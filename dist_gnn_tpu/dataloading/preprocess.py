@@ -76,19 +76,27 @@ def make_synthetic_dataset(
     num_edges = num_nodes * avg_degree
     # community assignment
     labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
-    # power-law-ish hub weights
-    w = (1.0 / (np.arange(num_nodes) + 1.0) ** power)
-    rng.shuffle(w)
-    p = w / w.sum()
-    dst = rng.choice(num_nodes, num_edges, p=p)
-    # 70% of edges stay intra-community: pick src from same-label nodes
+    # power-law hub endpoints via inverse-CDF of a Zipf-like law (O(E),
+    # avoids np.random.choice(p=...) whose CDF search took minutes at
+    # papers-scale edge counts on this host)
+    perm = rng.permutation(num_nodes)
+
+    def zipf_nodes(count):
+        u = rng.random(count)
+        ranks = ((num_nodes ** (1 - power)) * u + (1 - u)) ** (1 / (1 - power))
+        return perm[np.clip(ranks.astype(np.int64) - 1, 0, num_nodes - 1)]
+
+    dst = zipf_nodes(num_edges)
+    src = zipf_nodes(num_edges)
+    # ~70% of edges stay intra-community: remap src to a same-label node
     same = rng.random(num_edges) < 0.7
-    src = rng.choice(num_nodes, num_edges, p=p)
     by_label = [np.flatnonzero(labels == c) for c in range(num_classes)]
+    lab_dst = labels[dst]
     for c in range(num_classes):
-        m = same & (labels[dst] == c)
-        if m.any() and len(by_label[c]):
-            src[m] = rng.choice(by_label[c], int(m.sum()))
+        m = same & (lab_dst == c)
+        cnt = int(m.sum())
+        if cnt and len(by_label[c]):
+            src[m] = by_label[c][rng.integers(0, len(by_label[c]), cnt)]
     graph = HostGraph.from_coo(src, dst, num_nodes, symmetrize=True)
 
     centroids = rng.standard_normal((num_classes, feature_dim)).astype(np.float32)
