@@ -46,6 +46,8 @@ def parse_args():
     ap.add_argument("--checkpoint", default=None, help="save path prefix")
     ap.add_argument("--resume", default=None, help="load path prefix")
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
+    ap.add_argument("--full-eval", action="store_true",
+                    help="final full-graph layer-wise inference accuracy (SAGE)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 devices)")
@@ -193,6 +195,18 @@ def main():
         log.log("epoch", epoch=epoch, loss=loss, train_acc=acc, time_s=dt)
         if args.checkpoint:
             save_checkpoint(args.checkpoint, state)
+
+    if args.full_eval and args.model == "sage" and not args.dist:
+        from dist_gnn_tpu.models.inference import full_graph_inference
+
+        logits = full_graph_inference(
+            model, state.params, hg, jnp.asarray(np.asarray(arrays["features"]))
+        )
+        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        test = np.asarray(arrays["test_idx"])
+        acc = float((pred[test] == np.asarray(arrays["labels"])[test]).mean())
+        print(f"full-graph test accuracy: {acc:.4f}")
+        log.log("full_eval", test_acc=acc)
 
     log.close()
 
