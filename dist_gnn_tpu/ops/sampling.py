@@ -339,11 +339,14 @@ def sample_biased_alias(
     first = ~dup
     rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
     take = first & (rank < k)
-    sel_sparse = jnp.zeros((B, k), jnp.int32)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
-    sel_sparse = sel_sparse.at[
-        jnp.where(take, row_i, 0), jnp.where(take, rank, 0)
-    ].set(jnp.where(take, draws, 0).astype(jnp.int32), mode="drop")
+    # non-taken draws must scatter OUT OF BOUNDS (dropped), not to (0, 0) —
+    # they used to clobber row 0 slot 0 with offset 0
+    sel_sparse = (
+        jnp.zeros((B, k), jnp.int32)
+        .at[jnp.where(take, row_i, B), jnp.where(take, rank, 0)]
+        .set(draws.astype(jnp.int32), mode="drop")
+    )
     got = jnp.sum(take.astype(jnp.int32), axis=1)  # distinct draws found
     jslots = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
     sparse_valid = jslots < got[:, None]

@@ -234,13 +234,15 @@ class DistTrainer:
     def store_labels_fetch(self, labels_shard, seeds, seed_mask):
         from dist_gnn_tpu.parallel.feature_store import exchange_gather
 
+        # lossless budget: a chip's seed slice may cluster in one shard
+        # (e.g. range-partitioned train ids), and label payloads are tiny
         return exchange_gather(
             labels_shard,
             seeds,
             seed_mask,
             self.axis_name,
             self.store.shard_size,
-            budget=request_budget(seeds.shape[0], self.store.num_shards, 2.0),
+            budget=seeds.shape[0],
         )
 
     @partial(jax.jit, static_argnames=("self",))

@@ -317,3 +317,29 @@ def test_feistel_pairwise_uniformity():
     # 1683 (structured pairs) — this test guards the round count
     chi2 = float(((observed - expect) ** 2 / expect).sum())
     assert chi2 < 2.0 * n_pairs, chi2
+
+
+def test_alias_sparse_path_row0_not_clobbered():
+    """Regression: non-taken draws used to scatter to (0, 0), overwriting
+    row 0's first pick with edge offset 0.  With edge 0 given near-zero
+    weight, offset 0 must remain rare in row 0 slot 0."""
+    from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+    d = 10
+    w = np.full(d, 1.0, np.float32)
+    w[0] = 1e-6  # edge 0 nearly never drawn legitimately
+    indptr = np.concatenate([[0, d], np.full(16, d)]).astype(np.int64)
+    indices = (np.arange(d) + 10).astype(np.int32)
+    g = HostGraph(indptr=indptr, indices=indices, probs=w).to_device(
+        with_alias=True
+    )
+    hits = 0
+    T = 200
+    for t in range(T):
+        out = sample_biased_alias(
+            g, jnp.zeros((1,), jnp.int32), k=2, replace=False,
+            key=jax.random.key(t),
+        )
+        if int(np.asarray(out.ids)[0, 0]) == 10:  # neighbor of edge 0
+            hits += 1
+    assert hits <= 2, hits  # clobber bug made this ~always edge 0
