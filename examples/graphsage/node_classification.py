@@ -48,6 +48,9 @@ def parse_args():
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
     ap.add_argument("--full-eval", action="store_true",
                     help="final full-graph layer-wise inference accuracy (SAGE)")
+    ap.add_argument("--profile", action="store_true",
+                    help="report Sampling/Loading/Training ms per iter "
+                         "(reference-format phase split, slope-timed)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 devices)")
@@ -195,6 +198,61 @@ def main():
         log.log("epoch", epoch=epoch, loss=loss, train_acc=acc, time_s=dt)
         if args.checkpoint:
             save_checkpoint(args.checkpoint, state)
+
+    if args.profile and not args.dist:
+        # phase split in the reference's report format
+        # (example/graphsage/node_classification.py:252-260) — measured as
+        # standalone phases since the fused step has no internal fences
+        import jax.numpy as jnp2
+
+        from dist_gnn_tpu.sampler import sample_blocks
+        from dist_gnn_tpu.utils.timing import measure_chain
+
+        seeds0, mask0 = next(train_gen.epoch(jax.random.key(77)))
+
+        def phase_sample(c):
+            b = sample_blocks(
+                graph, seeds0, mask0, fan_out, args.replace,
+                jax.random.fold_in(jax.random.key(0), c[0]),
+            )
+            return (c[0] + 1, b[-1].frontier)
+
+        t_sample = measure_chain(phase_sample, (jnp2.zeros((), jnp2.int32), None))
+        blocks0 = sample_blocks(
+            graph, seeds0, mask0, fan_out, args.replace, jax.random.key(0)
+        )
+        inp = blocks0[-1]
+
+        def phase_load(c):
+            safe = jnp2.where(inp.frontier_mask, inp.frontier, 0)
+            rows = jnp2.where(
+                inp.frontier_mask[:, None], features[safe + c[0]], 0
+            )
+            return (c[0], rows)
+
+        t_load = measure_chain(phase_load, (jnp2.zeros((), jnp2.int32), None))
+
+        def phase_train(c):
+            st, _ = trainer.train_step(
+                c[0], graph, features, labels_1d, seeds0, mask0, jax.random.key(1)
+            )
+            return (st,)
+
+        t_full = measure_chain(phase_train, (state,))
+        # residual can undercut 0 when XLA fuses phases inside the single
+        # jit better than the standalone phase programs run
+        resid = max(t_full - t_sample - t_load, 0.0)
+        print(
+            f"profile: Sampling {t_sample*1e3:.2f} ms | Loading {t_load*1e3:.2f} ms | "
+            f"Training(resid) {resid*1e3:.2f} ms | "
+            f"Iteration {t_full*1e3:.2f} ms (fused step)"
+        )
+        log.log(
+            "profile",
+            sampling_ms=t_sample * 1e3,
+            loading_ms=t_load * 1e3,
+            iteration_ms=t_full * 1e3,
+        )
 
     if args.full_eval and args.model == "sage" and not args.dist:
         from dist_gnn_tpu.models.inference import full_graph_inference

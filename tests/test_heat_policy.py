@@ -133,3 +133,13 @@ class TestPolicy:
         )
         assert mode in ("selfish", "selfless")
         assert len(plans) == 2
+
+
+def test_calibrate_ici_runs_on_mesh():
+    """ICI probe executes on the CPU mesh (numbers meaningless off-TPU,
+    but the collective path and shapes are exercised)."""
+    from dist_gnn_tpu.cache.cost_model import calibrate_ici
+    from dist_gnn_tpu.parallel import make_mesh
+
+    bw = calibrate_ici(make_mesh(), mbytes=1)
+    assert bw > 0
