@@ -7,15 +7,9 @@ graph, uniform fanout [15,10,5], single chip, full feature store in HBM).
 The metric is end-to-end sampled edges consumed per second through the
 fused train step (sampling + relabel + feature gather + fwd/bwd + Adam).
 
-``vs_baseline`` compares against an analytic estimate of the reference's
-per-GPU pipeline throughput from its own cost-model constants
-(BASELINE.md: 480 B/seed sampling + 512 B/node feature loads at 8.32 GB/s
-host + 120.62 GB/s GPU with everything cached): the reference, with its
-full cache in HBM, is bounded by ~120.62 GB/s / (480 B/edge-ish) —- we use
-the *cached* numbers to be conservative: edges/s_ref ≈ BW_gpu / bytes_per
-sampled edge along the same pipeline shape.  This is an estimate, not a
-published number (the reference publishes none); it is recorded so rounds
-are comparable against a fixed yardstick.
+``vs_baseline`` = cumulative speedup over this framework's first honest
+round-1 measurement (see REF_EDGES_PER_S below); the reference publishes
+no numbers of its own (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -81,7 +75,7 @@ def main():
         frontier_caps=None,
         dedup_last=False,
         sampler_window=128,
-        sampler_big_budget=8192,  # covers this graph's hub-row count (~3.4k
+        sampler_big_budget=5120,  # covers this graph hub-row count (~3.4k
         # frontier rows exceed the window; 2048 dropped 4.7% of edges)
     )
     state = trainer.init_state(jax.random.key(0))
@@ -128,7 +122,7 @@ def main():
     seeds, mask = next(gen.epoch(jax.random.key(101)))
     blocks = sample_blocks(
         graph, seeds, mask, fan_out, False, jax.random.key(7),
-        dedup_last=False, window=128, big_row_budget=8192,
+        dedup_last=False, window=128, big_row_budget=5120,
     )
     edges_per_step = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks))
     # fidelity check: the windowed sampler must not drop edges vs exact
