@@ -120,13 +120,16 @@ def main():
     from dist_gnn_tpu.sampler import sample_blocks
 
     seeds, mask = next(gen.epoch(jax.random.key(101)))
-    blocks = sample_blocks(
+    blocks, stats = sample_blocks(
         graph, seeds, mask, fan_out, False, jax.random.key(7),
         dedup_last=False, window=128, big_row_budget=5120,
     )
+    assert int(stats["sampler_overflow"]) == 0, (
+        f"big-row budget overflowed: {int(stats['sampler_overflow'])} slots"
+    )
     edges_per_step = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks))
     # fidelity check: the windowed sampler must not drop edges vs exact
-    blocks_exact = sample_blocks(
+    blocks_exact, _ = sample_blocks(
         graph, seeds, mask, fan_out, False, jax.random.key(7), dedup_last=False
     )
     edges_exact = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks_exact))

@@ -39,6 +39,11 @@ from dist_gnn_tpu.ops import prng
 class SampledNeighbors(NamedTuple):
     ids: jnp.ndarray  # [B, k] int32 global neighbor ids, INVALID_ID padded
     mask: jnp.ndarray  # [B, k] bool
+    # count of sampled slots that had to be masked out because a static
+    # budget was exceeded (windowed big-row budget, alias sparse-path
+    # shortfall).  0 on exact paths.  Never silently wrong: undersized
+    # budgets are observable here and aggregated into trainer metrics.
+    overflow: jnp.ndarray | int = 0
 
 
 def _row_extents(graph: Graph, seeds: jnp.ndarray):
@@ -150,6 +155,14 @@ def sample_uniform(
 
     ``window`` enables the windowed-gather fast path (see
     :func:`_window_fetch`); None keeps the plain elementwise gather.
+    Slots exceeding ``big_row_budget`` on the windowed path are masked and
+    counted in the returned ``overflow`` field.
+
+    Distinctness caveat (replace=False): picks come from a keyed Feistel
+    permutation whose cycle-walk fallback breaks bijectivity with ~1e-3
+    probability per element (ops/prng.feistel_permutation), so a row can
+    very rarely contain a duplicate neighbor.  Downstream relabel dedups,
+    so correctness holds; only sampling statistics carry the ~0.1% noise.
     """
     B = seeds.shape[0]
     start, deg, valid = _row_extents(graph, seeds)
@@ -167,8 +180,8 @@ def sample_uniform(
         mask = valid[:, None] & (j < jnp.minimum(deg[:, None], k))
 
     if window is not None and graph.num_edges > window:
-        ids, mask, _ = _window_fetch(graph, start, sel, mask, window, big_row_budget)
-        return SampledNeighbors(ids=ids, mask=mask)
+        ids, mask, ovf = _window_fetch(graph, start, sel, mask, window, big_row_budget)
+        return SampledNeighbors(ids=ids, mask=mask, overflow=ovf)
 
     pos = start[:, None] + sel.astype(start.dtype)
     pos = jnp.clip(pos, 0, max(graph.num_edges - 1, 0))
@@ -332,7 +345,6 @@ def sample_biased_alias(
     dense_valid = jnp.take_along_axis(glog, top_off, axis=1) > -jnp.inf
 
     # sparse-row path: first k distinct among T successive draws
-    first = jnp.ones((B, T), bool)
     eq = draws[:, :, None] == draws[:, None, :]  # [B, T, T]
     earlier = jnp.tril(jnp.ones((T, T), bool), k=-1)
     dup = jnp.any(eq & earlier[None], axis=2)
@@ -362,7 +374,13 @@ def sample_biased_alias(
     mask = valid[:, None] & smask
     pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
     ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
-    return SampledNeighbors(ids=ids, mask=mask)
+    # sparse-path shortfall (fewer than k distinct draws in T attempts on a
+    # deg > 2k row) is astronomically rare but observable, not silent
+    sparse_row = valid & ~take_all[:, 0] & (deg > D)
+    shortfall = jnp.sum(
+        jnp.where(sparse_row, jnp.maximum(k - got, 0), 0)
+    ).astype(jnp.int32)
+    return SampledNeighbors(ids=ids, mask=mask, overflow=shortfall)
 
 
 def sample_neighbors(

@@ -273,6 +273,8 @@ def sample_neighbors_cached(
     replace: bool,
     key: jax.Array,
     budget: Optional[int] = None,
+    window: Optional[int] = None,
+    big_row_budget: Optional[int] = None,
 ) -> Tuple[SampledNeighbors, jnp.ndarray]:
     """Hybrid sampling: hot-cached rows sample from local HBM, misses go
     owner-side over the all-to-all (call inside shard_map).
@@ -281,12 +283,17 @@ def sample_neighbors_cached(
     (``rowwise_sampling_p2p.cu:180-223``: hashmap probe → local/peer/host),
     reshaped for TPU: the probe is a sorted-table binary search and the
     peer tier is the batched exchange, not a pointer deref.
+
+    ``window``/``big_row_budget`` enable the windowed 2-row edge fetch on
+    both the hot tier and the owner-side miss path (same fast path as the
+    single-chip sampler; overflow is folded into the returned count).
     """
     indptr_blk, indices_blk, probs_blk, hot, alias_blk = sgraph.unpack(shard_blks)
     if hot is None:
         return sample_neighbors_sharded(
             sgraph, indptr_blk, indices_blk, probs_blk, seeds, seed_mask,
             k, replace, key, budget=budget, alias_blk=alias_blk,
+            window=window, big_row_budget=big_row_budget,
         )
     hs, hp, hi, hpr, hal = hot
     hs = hs.reshape(-1)
@@ -314,15 +321,20 @@ def sample_neighbors_cached(
         else:
             nb_hot = sample_biased(hot_graph, local_rows, k, replace, hot_key)
     else:
-        nb_hot = sample_uniform(hot_graph, local_rows, k, replace, hot_key)
+        nb_hot = sample_uniform(
+            hot_graph, local_rows, k, replace, hot_key,
+            window=window, big_row_budget=big_row_budget,
+        )
 
     miss_seeds = jnp.where(hit, INVALID_ID, seeds)
     nb_miss, overflow = sample_neighbors_sharded(
         sgraph, indptr_blk, indices_blk, probs_blk, miss_seeds,
         seed_mask & ~hit, k, replace, key, budget=budget, alias_blk=alias_blk,
+        window=window, big_row_budget=big_row_budget,
     )
     ids = jnp.where(hit[:, None], nb_hot.ids, nb_miss.ids)
     mask = jnp.where(hit[:, None], nb_hot.mask, nb_miss.mask)
+    overflow = overflow + jnp.asarray(nb_hot.overflow, jnp.int32)
     return SampledNeighbors(ids=ids, mask=mask), overflow
 
 
@@ -376,4 +388,7 @@ def sample_neighbors_sharded(
     served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)
     ids_back = return_response(plan, served_ids, ax, fill=INVALID_ID)  # [L, k]
     mask_back = ids_back != INVALID_ID
+    # fold the owner-side sampler's budget overflow (windowed big-row path)
+    # into the exchange overflow so undersized budgets stay observable
+    overflow = overflow + jnp.asarray(nb.overflow, jnp.int32)
     return SampledNeighbors(ids=ids_back, mask=mask_back), overflow

@@ -29,7 +29,6 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from dist_gnn_tpu.graph import Graph
-from dist_gnn_tpu.ops.relabel import unique_and_relabel
 from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore, request_budget
 from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_cached
 from dist_gnn_tpu.sampler import Block, sample_blocks
@@ -51,6 +50,8 @@ class DistTrainer:
     dedup_last: bool = True  # False = dedup-free final hop (faster, same math)
     sampler_window: Optional[int] = None  # windowed edge fetch (owner side)
     sampler_big_budget: Optional[int] = None
+    relabel_mode: str = "auto"  # 'sort' | 'dense' | 'auto' (see sampler._relabel)
+    frontier_caps: Optional[Tuple[int, ...]] = None  # per-hop static budgets
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -86,21 +87,26 @@ class DistTrainer:
         denom = jnp.maximum(n_global, 1.0)
         return loss_sum / denom, (acc_sum, denom)
 
-    def _sample_blocks_sharded(
-        self, sgraph_blks, seeds, seed_mask, key
-    ) -> Tuple[Block, ...]:
+    def _sample_blocks_sharded(self, sgraph_blks, seeds, seed_mask, key):
         """Per-layer owner-side sampling + local relabel (inside shard_map).
 
         Mirrors sampler.sample_blocks but the neighbor fetch routes through
         the hot cache / all-to-all sharded structure instead of a local HBM
-        gather.
+        gather.  Carries the single-chip sampler optimizations (windowed
+        edge fetch, relabel-mode choice, frontier caps) to the dist path.
+
+        Returns ``(blocks, stats)`` with traced overflow counters:
+        ``sampler_overflow`` (exchange budget + windowed big-row budget +
+        alias shortfall) and ``frontier_overflow`` (frontier-cap drops).
         """
-        from dist_gnn_tpu.sampler import _no_dedup_block
+        from dist_gnn_tpu.sampler import _no_dedup_block, _relabel, _truncate_frontier
 
         blocks = []
+        samp_ovf = jnp.int32(0)
+        front_ovf = jnp.int32(0)
         keys = jax.random.split(key, len(self.fan_out))
         for i, k in enumerate(reversed(list(self.fan_out))):
-            nb, _ = sample_neighbors_cached(
+            nb, ovf = sample_neighbors_cached(
                 self.sgraph,
                 sgraph_blks,
                 seeds,
@@ -108,25 +114,54 @@ class DistTrainer:
                 k,
                 self.replace,
                 keys[i],
+                window=self.sampler_window,
+                big_row_budget=self.sampler_big_budget,
             )
+            samp_ovf = samp_ovf + ovf.astype(jnp.int32)
             if not self.dedup_last and i == len(self.fan_out) - 1:
                 blocks.append(_no_dedup_block(seeds, seed_mask, nb))
                 break
-            rl = unique_and_relabel(seeds, nb.ids, nb.mask)
+            rl = _relabel(
+                self.sgraph.num_nodes, seeds, nb.ids, nb.mask, self.relabel_mode
+            )
+            neigh_mask = nb.mask
+            if (
+                self.frontier_caps is not None
+                and self.frontier_caps[i] < rl.frontier.shape[0]
+            ):
+                budget = self.frontier_caps[i]
+                assert budget >= seeds.shape[0], (
+                    f"frontier cap {budget} must cover the {seeds.shape[0]} seeds"
+                )
+                frontier, frontier_mask, num_frontier, slots, keep, fovf = (
+                    _truncate_frontier(rl, budget)
+                )
+                neigh_mask = neigh_mask & keep
+                front_ovf = front_ovf + fovf.astype(jnp.int32)
+            else:
+                frontier, frontier_mask, num_frontier, slots = (
+                    rl.frontier,
+                    rl.frontier_mask,
+                    rl.num_frontier,
+                    rl.neigh_slots,
+                )
             blocks.append(
                 Block(
                     seeds=seeds,
                     seed_mask=seed_mask,
-                    frontier=rl.frontier,
-                    frontier_mask=rl.frontier_mask,
-                    num_frontier=rl.num_frontier,
-                    neigh_slots=rl.neigh_slots,
-                    neigh_mask=nb.mask,
+                    frontier=frontier,
+                    frontier_mask=frontier_mask,
+                    num_frontier=num_frontier,
+                    neigh_slots=slots,
+                    neigh_mask=neigh_mask,
                 )
             )
-            seeds = rl.frontier
-            seed_mask = rl.frontier_mask
-        return tuple(blocks)
+            seeds = frontier
+            seed_mask = frontier_mask
+        return tuple(blocks), {
+            "sampler_overflow": samp_ovf,
+            "frontier_overflow": front_ovf,
+        }
 
     def _per_chip_step(
         self, state, graph, store_args, labels_shard, seeds, seed_mask, key
@@ -138,10 +173,14 @@ class DistTrainer:
             )
         )
         if self.sgraph is not None:
-            blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
+            blocks, samp_stats = self._sample_blocks_sharded(
+                graph, seeds, seed_mask, k_sample
+            )
         else:
-            blocks = sample_blocks(
+            blocks, samp_stats = sample_blocks(
                 graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
+                relabel_mode=self.relabel_mode,
+                frontier_caps=self.frontier_caps,
                 dedup_last=self.dedup_last,
                 window=self.sampler_window,
                 big_row_budget=self.sampler_big_budget,
@@ -164,6 +203,9 @@ class DistTrainer:
         acc = jax.lax.psum(acc_sum, self.axis_name) / denom
         grads = jax.lax.psum(grads, self.axis_name)
         overflow = jax.lax.psum(overflow, self.axis_name)
+        samp_stats = jax.tree.map(
+            lambda v: jax.lax.psum(v, self.axis_name), samp_stats
+        )
 
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
@@ -172,15 +214,19 @@ class DistTrainer:
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1
         )
-        return new_state, {"loss": loss, "acc": acc, "overflow": overflow}
+        return new_state, {
+            "loss": loss, "acc": acc, "overflow": overflow, **samp_stats
+        }
 
     def _per_chip_eval(self, params, graph, store_args, labels_shard, seeds, seed_mask, key):
         k_sample = jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
         if self.sgraph is not None:
-            blocks = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
+            blocks, _ = self._sample_blocks_sharded(graph, seeds, seed_mask, k_sample)
         else:
-            blocks = sample_blocks(
+            blocks, _ = sample_blocks(
                 graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
+                relabel_mode=self.relabel_mode,
+                frontier_caps=self.frontier_caps,
                 dedup_last=self.dedup_last,
                 window=self.sampler_window,
                 big_row_budget=self.sampler_big_budget,
@@ -270,7 +316,10 @@ class DistTrainer:
             ),
             out_specs=(
                 jax.tree.map(lambda _: P(), state),
-                {"loss": P(), "acc": P(), "overflow": P()},
+                {
+                    "loss": P(), "acc": P(), "overflow": P(),
+                    "sampler_overflow": P(), "frontier_overflow": P(),
+                },
             ),
             check_vma=False,
         )(state, graph, self.store.shard_args(), labels, seeds, seed_mask, key)

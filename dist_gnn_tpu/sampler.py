@@ -63,7 +63,7 @@ def layer_capacities(batch_size: int, fan_out: Sequence[int]) -> List[int]:
     return caps
 
 
-def _relabel(graph: Graph, seeds, nb_ids, nb_mask, mode: str):
+def _relabel(num_nodes: int, seeds, nb_ids, nb_mask, mode: str):
     """Pick the unique+relabel strategy.
 
     'dense' (scatter/cumsum over [num_nodes], ~3 bandwidth passes) beats
@@ -74,9 +74,9 @@ def _relabel(graph: Graph, seeds, nb_ids, nb_mask, mode: str):
     """
     cap = seeds.shape[0] + nb_ids.shape[0] * nb_ids.shape[1]
     if mode == "auto":
-        mode = "dense" if graph.num_nodes <= 8 * cap else "sort"
+        mode = "dense" if num_nodes <= 8 * cap else "sort"
     if mode == "dense":
-        return unique_and_relabel_dense(seeds, nb_ids, nb_mask, graph.num_nodes)
+        return unique_and_relabel_dense(seeds, nb_ids, nb_mask, num_nodes)
     return unique_and_relabel(seeds, nb_ids, nb_mask)
 
 
@@ -140,38 +140,51 @@ def sample_blocks(
     dedup_last: bool = True,
     window: Optional[int] = None,
     big_row_budget: Optional[int] = None,
-) -> Tuple[Block, ...]:
-    """Sample all layers; returns blocks ordered output-layer-first
-    (blocks[0].seeds is the mini-batch), like the reference's result list
-    (``sampler.cc:31-33``).  Reverse for input-first model consumption.
+):
+    """Sample all layers; returns ``(blocks, stats)``.
+
+    Blocks are ordered output-layer-first (blocks[0].seeds is the
+    mini-batch), like the reference's result list (``sampler.cc:31-33``).
+    Reverse for input-first model consumption.
+
+    ``stats`` is a dict of traced scalars: ``sampler_overflow`` — total
+    sampled slots masked by an undersized static budget
+    (big_row_budget, alias shortfall); ``frontier_overflow`` — frontier
+    entries dropped by ``frontier_caps``.  Both must be 0 for a lossless
+    run; threading them to trainer metrics makes budget undersizing
+    observable at runtime instead of silently dropping edges.
 
     ``frontier_caps`` (optional, one per hop in sampling order) bounds each
     layer's frontier to a static budget below the worst case
     ``S*(k+1)`` — the padding-blowup fix for deep fanouts.  Dropped
     frontier entries are masked (never silently wrong) and sized so a
-    p99-of-observed budget loses ~nothing; Block.overflow reports drops.
+    p99-of-observed budget loses ~nothing.
     """
     blocks = []
+    samp_ovf = jnp.int32(0)
+    front_ovf = jnp.int32(0)
     keys = jax.random.split(key, len(fan_out))
     for i, k in enumerate(reversed(list(fan_out))):
         nb = sample_neighbors(
             graph, seeds, k, replace, keys[i],
             window=window, big_row_budget=big_row_budget,
         )
+        samp_ovf = samp_ovf + jnp.asarray(nb.overflow, jnp.int32)
         if not dedup_last and i == len(fan_out) - 1:
             blocks.append(_no_dedup_block(seeds, seed_mask, nb))
             break
-        rl = _relabel(graph, seeds, nb.ids, nb.mask, relabel_mode)
+        rl = _relabel(graph.num_nodes, seeds, nb.ids, nb.mask, relabel_mode)
         neigh_mask = nb.mask
         if frontier_caps is not None and frontier_caps[i] < rl.frontier.shape[0]:
             budget = frontier_caps[i]
             assert budget >= seeds.shape[0], (
                 f"frontier cap {budget} must cover the {seeds.shape[0]} seeds"
             )
-            frontier, frontier_mask, num_frontier, slots, keep, _ = (
+            frontier, frontier_mask, num_frontier, slots, keep, ovf = (
                 _truncate_frontier(rl, budget)
             )
             neigh_mask = neigh_mask & keep
+            front_ovf = front_ovf + ovf.astype(jnp.int32)
         else:
             frontier, frontier_mask, num_frontier, slots = (
                 rl.frontier,
@@ -192,7 +205,10 @@ def sample_blocks(
         )
         seeds = frontier
         seed_mask = frontier_mask
-    return tuple(blocks)
+    return tuple(blocks), {
+        "sampler_overflow": samp_ovf,
+        "frontier_overflow": front_ovf,
+    }
 
 
 @dataclasses.dataclass
@@ -214,7 +230,8 @@ class NeighborSampler:
     window: Optional[int] = None
     big_row_budget: Optional[int] = None
 
-    def sample(self, seeds, seed_mask, key) -> Tuple[Block, ...]:
+    def sample(self, seeds, seed_mask, key):
+        """Returns ``(blocks, stats)`` — see :func:`sample_blocks`."""
         return sample_blocks(
             self.graph,
             seeds,

@@ -42,5 +42,11 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
             if key not in data:
                 raise KeyError(f"checkpoint missing {key}")
             arr = data[key]
+            if tuple(arr.shape) != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"checkpoint shape mismatch at {key}: "
+                    f"saved {tuple(arr.shape)} vs template {tuple(np.shape(leaf))}"
+                    " — was it written by a different model/optimizer config?"
+                )
             new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -93,7 +93,7 @@ class Trainer:
     ):
         """Fused sample+load+train step (single store in HBM)."""
         k_sample, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
-        blocks = sample_blocks(
+        blocks, samp_stats = sample_blocks(
             graph, seeds, seed_mask, tuple(self.fan_out), self.replace, k_sample,
             relabel_mode=self.relabel_mode,
             frontier_caps=self.frontier_caps,
@@ -116,7 +116,7 @@ class Trainer:
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            {"loss": loss, "acc": acc},
+            {"loss": loss, "acc": acc, **samp_stats},
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -130,7 +130,7 @@ class Trainer:
         seed_mask: jnp.ndarray,
         key: jax.Array,
     ):
-        blocks = sample_blocks(
+        blocks, _ = sample_blocks(
             graph, seeds, seed_mask, tuple(self.fan_out), self.replace, key,
             relabel_mode=self.relabel_mode,
             frontier_caps=self.frontier_caps,

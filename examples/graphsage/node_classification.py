@@ -146,7 +146,11 @@ def main():
         step_fn = lambda st, seeds, mask, key: trainer.train_step(
             st, graph_arg, labels, seeds, mask, key
         )
-        eval_fn = None  # dist eval via the same step's acc metric
+        # distributed sampled validation eval (DistTrainer.eval_step runs the
+        # same sharded sample→exchange→forward pipeline, psums correct/total)
+        eval_fn = lambda params, seeds, mask, key: trainer.eval_step(
+            params, graph_arg, labels, seeds, mask, key
+        )
     else:
         graph = hg.to_device(with_alias=args.bias and hg.probs is not None)
         features = jnp.asarray(np.asarray(arrays["features"])).astype(feat_dtype)
@@ -211,14 +215,14 @@ def main():
         seeds0, mask0 = next(train_gen.epoch(jax.random.key(77)))
 
         def phase_sample(c):
-            b = sample_blocks(
+            b, _ = sample_blocks(
                 graph, seeds0, mask0, fan_out, args.replace,
                 jax.random.fold_in(jax.random.key(0), c[0]),
             )
             return (c[0] + 1, b[-1].frontier)
 
         t_sample = measure_chain(phase_sample, (jnp2.zeros((), jnp2.int32), None))
-        blocks0 = sample_blocks(
+        blocks0, _ = sample_blocks(
             graph, seeds0, mask0, fan_out, args.replace, jax.random.key(0)
         )
         inp = blocks0[-1]

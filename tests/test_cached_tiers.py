@@ -233,3 +233,46 @@ def test_biased_cached_sharded_sampling(mesh):
     assert set(flat.tolist()) <= set(range(1, 9))
     counts = np.bincount(flat, minlength=9)
     assert counts[7] + counts[8] > counts[1] + counts[2]
+
+
+def test_windowed_dist_sampling_matches_exact(mesh):
+    """The windowed 2-row edge fetch plumbed through the distributed
+    (owner-side all-to-all) sampler must return exactly the elementwise
+    path's results when the big-row budget suffices — and report overflow
+    instead of silently dropping when it does not."""
+    rng = np.random.default_rng(21)
+    N, E = 400, 12000  # avg degree 30 → many rows exceed a tiny window
+    hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+    n = mesh.shape["data"]
+    sg = ShardedGraph.build(hg, mesh)
+
+    L, k = 32, 5
+    seeds = rng.integers(0, N, n * L).astype(np.int32)
+    mask = np.ones(n * L, bool)
+
+    def run(window, big_budget):
+        def body(args, s, m):
+            nb, ov = sample_neighbors_cached(
+                sg, args, s, m, k, False, jax.random.key(7), budget=L,
+                window=window, big_row_budget=big_budget,
+            )
+            return nb.ids, nb.mask, jax.lax.psum(ov, "data")
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(sg.shard_specs(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P()),
+            check_vma=False,
+        )(sg.shard_args(), jnp.asarray(seeds), jnp.asarray(mask))
+
+    ids0, m0, ov0 = run(None, None)
+    ids1, m1, ov1 = run(16, n * L)  # generous budget → lossless
+    assert int(ov0) == 0 and int(ov1) == 0
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+    # tiny big-row budget: drops must surface in the overflow counter
+    _, m2, ov2 = run(2, 1)
+    assert int(ov2) > 0
+    assert np.asarray(m2).sum() < np.asarray(m0).sum()

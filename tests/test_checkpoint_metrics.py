@@ -39,3 +39,19 @@ def test_phase_timer_and_logger(tmp_path, capsys):
 
     rec = json.loads(open(tmp_path / "m.jsonl").read().strip())
     assert rec["event"] == "epoch" and rec["loss"] == 0.5
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    import pytest
+
+    model = SAGE(8, 16, 4, 2)
+    trainer = Trainer(model=model, fan_out=(3, 3))
+    state = trainer.init_state(jax.random.key(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    # a template from a DIFFERENT model config (hidden 32) must be rejected
+    # with a clear error naming the mismatched path, not load silently
+    other = Trainer(model=SAGE(8, 32, 4, 2), fan_out=(3, 3))
+    template = other.init_state(jax.random.key(1))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(path, template)

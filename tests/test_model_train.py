@@ -222,7 +222,7 @@ def test_contiguous_first_equals_gather_path():
     hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
     g = hg.to_device()
     seeds = jnp.asarray(rng.integers(0, N, 64), jnp.int32)
-    blocks = sample_blocks(
+    blocks, _ = sample_blocks(
         g, seeds, jnp.ones(64, bool), (3, 3), False, jax.random.key(0),
         dedup_last=False,
     )

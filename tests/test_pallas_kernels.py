@@ -39,7 +39,7 @@ def test_frontier_caps_truncation_semantics():
     B, k = 64, 8
     seeds = jnp.asarray(rng.integers(0, N, B), jnp.int32)
     cap = B + 200  # force truncation (worst case B + B*k = 576)
-    blocks = sample_blocks(
+    blocks, _ = sample_blocks(
         g, seeds, jnp.ones(B, bool), (k,), False, jax.random.key(0),
         frontier_caps=(cap,),
     )
@@ -53,7 +53,7 @@ def test_frontier_caps_truncation_semantics():
     # seeds-first invariant holds after truncation
     np.testing.assert_array_equal(f[:B], np.asarray(seeds))
     # full-capacity run has at least as many valid neighbors
-    full = sample_blocks(
+    full, _ = sample_blocks(
         g, seeds, jnp.ones(B, bool), (k,), False, jax.random.key(0)
     )
     assert nm.sum() <= np.asarray(full[0].neigh_mask).sum()

@@ -276,7 +276,7 @@ class TestDedupLast:
         seeds = jnp.asarray(rng.integers(0, N, 64), jnp.int32)
         mask = jnp.ones(64, bool)
         for dedup in (True, False):
-            blocks = sample_blocks(
+            blocks, _ = sample_blocks(
                 g, seeds, mask, (4, 4), False, jax.random.key(0),
                 dedup_last=dedup,
             )
@@ -343,3 +343,66 @@ def test_alias_sparse_path_row0_not_clobbered():
         if int(np.asarray(out.ids)[0, 0]) == 10:  # neighbor of edge 0
             hits += 1
     assert hits <= 2, hits  # clobber bug made this ~always edge 0
+
+
+class TestSamplerOverflowObservability:
+    """ADVICE r1: undersized static budgets must be observable, not silent."""
+
+    def test_windowed_big_row_overflow_counted(self):
+        import numpy as np
+
+        from dist_gnn_tpu.graph import HostGraph
+        from dist_gnn_tpu.ops.sampling import sample_uniform
+
+        rng = np.random.default_rng(5)
+        N = 200
+        # one huge hub row (degree 150 >> window) plus sparse rows
+        src = np.concatenate([rng.integers(0, N, 150), rng.integers(0, N, 400)])
+        dst = np.concatenate([np.zeros(150, np.int64), rng.integers(1, N, 400)])
+        hg = HostGraph.from_coo(src, dst, N)
+        graph = hg.to_device()
+        seeds = jnp.zeros((8,), jnp.int32)  # all hit the hub
+        k = 10
+
+        exact = sample_uniform(graph, seeds, k, False, jax.random.key(0))
+        lossless = sample_uniform(
+            graph, seeds, k, False, jax.random.key(0), window=8,
+            big_row_budget=8,
+        )
+        assert int(lossless.overflow) == 0
+        np.testing.assert_array_equal(
+            np.asarray(exact.ids), np.asarray(lossless.ids)
+        )
+
+        tight = sample_uniform(
+            graph, seeds, k, False, jax.random.key(0), window=8,
+            big_row_budget=2,
+        )
+        assert int(tight.overflow) > 0  # 6 hub rows beyond the budget
+        assert int(tight.mask.sum()) < int(exact.mask.sum())
+
+    def test_sample_blocks_stats_lossless_zero(self):
+        import numpy as np
+
+        from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+        from dist_gnn_tpu.graph import HostGraph
+        from dist_gnn_tpu.sampler import sample_blocks
+
+        arrays, meta = make_synthetic_dataset(
+            num_nodes=400, avg_degree=6, feature_dim=4, num_classes=3, seed=8
+        )
+        hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+        graph = hg.to_device()
+        seeds = jnp.asarray(arrays["train_idx"][:32])
+        blocks, stats = sample_blocks(
+            graph, seeds, jnp.ones((32,), bool), (4, 4), False,
+            jax.random.key(1), window=16, big_row_budget=256,
+        )
+        assert int(stats["sampler_overflow"]) == 0
+        assert int(stats["frontier_overflow"]) == 0
+        # undersized frontier cap is counted
+        blocks2, stats2 = sample_blocks(
+            graph, seeds, jnp.ones((32,), bool), (4, 4), False,
+            jax.random.key(1), frontier_caps=(40, 40),
+        )
+        assert int(stats2["frontier_overflow"]) > 0
