@@ -1,0 +1,338 @@
+"""Host-resident base tier: graphs/features BIGGER than device HBM.
+
+This is the TPU answer to the reference's core premise — the full graph
+lives in *pinned host memory* and GPU kernels read cache misses over UVA at
+PCIe bandwidth (``src/common/pin_memory.cc:7-12``,
+``src/feature/cuda/feature_ops.cu:140-210``).  A TPU kernel cannot
+dereference host memory, so the per-element UVA load becomes *batched
+asynchronous staging*:
+
+  * the **hot tier** (heat/value policy) is resident in HBM and served by
+    an in-jit gather;
+  * the **base tier** stays in host RAM (numpy / np.memmap — nothing is
+    ever uploaded wholesale);
+  * each step's miss set is gathered host-side and shipped with an async
+    ``jax.device_put`` *while the previous step's compute runs on device*
+    (double-buffered by ``training/pipeline.HostTierTrainer``), hiding the
+    PCIe transfer the way UVA's overlapped loads did.
+
+Static shapes throughout: the miss set is padded to a fixed ``miss_budget``
+with an overflow counter (never silently wrong).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.graph import INVALID_ID
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HotTier:
+    """Device-resident hot rows + routing table.  Passed as a jit ARGUMENT
+    (never closed over — baked-in array constants blow compile time)."""
+
+    sorted_ids: jnp.ndarray  # [C] int32 strictly increasing
+    rows: jnp.ndarray  # [C, F]
+
+
+class StagedRows(NamedTuple):
+    """One batch's staged miss rows (device arrays + host bookkeeping)."""
+
+    rows: jnp.ndarray  # [R, F] feature rows (zero-padded)
+    slots: jnp.ndarray  # [R] int32 positions in the frontier; pad = L (dropped)
+    count: int  # host-side: staged miss rows
+    overflow: int  # host-side: misses beyond the budget (dropped + counted)
+
+
+class HostFeatureStore:
+    """Features host-resident; hot rows in HBM; misses staged per batch.
+
+    Replaces round-1's ``CachedFeatureStore`` whose miss tier was a
+    synchronous numpy gather *inside* ``get_features`` (un-jittable,
+    un-overlapped).  Here the host work is split out into :meth:`stage`
+    (called by the pipeline driver between batches) and the jit side
+    (:func:`assemble_features`) is a pure device function taking
+    ``store.hot_tier`` as an argument.
+
+    Parameters
+    ----------
+    host_features : the FULL feature matrix, host memory (numpy or memmap).
+    cache_nids : hot node ids from the heat/value policy (cache/policy.py),
+        mirroring the reference ctor (``feature_server.cc:10-61``).
+    miss_budget : static per-batch miss capacity R.  Sized from the
+        observed miss rate (e.g. frontier_capacity * (1 - hit_rate) * 1.5);
+        overflowed misses are dropped-and-counted, visible in metrics.
+    """
+
+    def __init__(
+        self,
+        host_features: np.ndarray,
+        cache_nids: np.ndarray,
+        miss_budget: int,
+        hot_dtype=None,
+    ):
+        self.base = host_features  # never uploaded wholesale
+        cache_sorted = np.unique(np.asarray(cache_nids, dtype=np.int32))
+        cache_sorted = cache_sorted[cache_sorted != INVALID_ID]
+        self.sorted_np = cache_sorted  # host mirror for stage()
+        hot = host_features[cache_sorted] if len(cache_sorted) else (
+            np.zeros((0, host_features.shape[1]), host_features.dtype)
+        )
+        if hot_dtype is not None:
+            hot = np.asarray(hot).astype(hot_dtype)
+        self.hot_tier = HotTier(
+            sorted_ids=jnp.asarray(cache_sorted), rows=jnp.asarray(hot)
+        )
+        self.miss_budget = int(miss_budget)
+
+    @property
+    def feature_dim(self) -> int:
+        return int(self.base.shape[1])
+
+    def hit_rate(self, nids: np.ndarray) -> float:
+        pos = np.clip(
+            np.searchsorted(self.sorted_np, nids), 0, max(len(self.sorted_np) - 1, 0)
+        )
+        if len(self.sorted_np) == 0:
+            return 0.0
+        return float(np.mean(self.sorted_np[pos] == nids))
+
+    def stage(self, frontier_np: np.ndarray, fmask_np: np.ndarray) -> StagedRows:
+        """Host side: find this frontier's hot-tier misses, gather their
+        rows from the host base, start the (async) upload.
+
+        Call while the device is busy with the previous step's compute —
+        ``jax.device_put`` returns immediately and the H2D copy overlaps.
+        """
+        L = len(frontier_np)
+        R = self.miss_budget
+        C = len(self.sorted_np)
+        if C:
+            pos = np.clip(np.searchsorted(self.sorted_np, frontier_np), 0, C - 1)
+            hit = fmask_np & (self.sorted_np[pos] == frontier_np)
+        else:
+            hit = np.zeros(L, bool)
+        miss_idx = np.flatnonzero(fmask_np & ~hit)
+        overflow = max(0, len(miss_idx) - R)
+        miss_idx = miss_idx[:R]
+        m = len(miss_idx)
+        rows = np.zeros((R, self.base.shape[1]), dtype=self.base.dtype)
+        if m:
+            rows[:m] = self.base[frontier_np[miss_idx]]
+        slots = np.full(R, L, np.int32)  # pad slot L → dropped by the scatter
+        slots[:m] = miss_idx
+        return StagedRows(
+            rows=jax.device_put(rows),
+            slots=jax.device_put(slots),
+            count=m,
+            overflow=overflow,
+        )
+
+
+def assemble_features(
+    hot: HotTier,  # pass store.hot_tier as a jit argument
+    frontier: jnp.ndarray,  # [L]
+    fmask: jnp.ndarray,  # [L]
+    staged_rows: jnp.ndarray,  # [R, F]
+    staged_slots: jnp.ndarray,  # [R]
+) -> jnp.ndarray:
+    """Device side (inside jit): hot-tier gather + staged-miss scatter."""
+    C = hot.sorted_ids.shape[0]
+    if C == 0:
+        out = jnp.zeros(
+            (frontier.shape[0], staged_rows.shape[1]), staged_rows.dtype
+        )
+        return out.at[staged_slots].set(staged_rows, mode="drop")
+    pos = jnp.clip(jnp.searchsorted(hot.sorted_ids, frontier), 0, C - 1)
+    hit = fmask & (hot.sorted_ids[pos] == frontier)
+    out = jnp.where(hit[:, None], hot.rows[pos], 0)
+    return out.at[staged_slots].set(staged_rows.astype(out.dtype), mode="drop")
+
+
+class StagedAdjacency(NamedTuple):
+    """One hop's staged miss-row adjacency (device arrays)."""
+
+    window: jnp.ndarray  # [M, Dcap] int32 neighbor ids of staged rows
+    deg: jnp.ndarray  # [M] int32 true degree (may exceed Dcap for presampled)
+    row_of: jnp.ndarray  # [M] int32 position of the staged row in the seeds
+    pre_ids: jnp.ndarray  # [M, k] int32 host-presampled ids for huge rows
+    pre_mask: jnp.ndarray  # [M, k] bool
+    is_pre: jnp.ndarray  # [M] bool — True → use pre_ids, ignore window
+    count: int  # host-side: staged rows
+    overflow: int  # host-side: misses beyond the budget
+
+
+class HostCSCStore:
+    """Graph STRUCTURE host-resident; hot sub-CSR in HBM; per-hop staging.
+
+    The structure half of the host base tier: sampling a hop first probes
+    the hot table (host-side, against the sorted mirror — seeds are on the
+    host between hops anyway); hot rows sample from the HBM sub-CSR, miss
+    rows have their adjacency staged:
+
+      * deg <= ``deg_cap``: the raw neighbor row ships in a dense
+        ``[M, deg_cap]`` window and the DEVICE does the k-of-deg draw
+        (Feistel permutation — same sampler as everywhere else);
+      * deg > ``deg_cap`` (rare hubs, usually hot-cached anyway): the HOST
+        draws k uniform-without-replacement picks and ships just ``[k]``
+        ids.  Sampling moves to where the data lives — the same principle
+        as the owner-side distributed sampler.
+
+    Mirrors ``P2PCacheSampler``'s per-row local/peer/host routing
+    (``src/sampling/cuda/rowwise_sampling_p2p.cu:180-223``) with the host
+    tier made explicit instead of UVA-implicit.
+    """
+
+    def __init__(
+        self,
+        hg,  # HostGraph — stays host-resident
+        cache_nids: np.ndarray,
+        miss_budget: int,
+        deg_cap: int = 128,
+    ):
+        from dist_gnn_tpu.utils import native
+
+        self.hg = hg
+        self.indptr64 = np.asarray(hg.indptr, dtype=np.int64)
+        self.miss_budget = int(miss_budget)
+        self.deg_cap = int(deg_cap)
+        cache_sorted = np.unique(np.asarray(cache_nids, dtype=np.int32))
+        cache_sorted = cache_sorted[cache_sorted != INVALID_ID]
+        self.sorted_np = cache_sorted
+        C = len(cache_sorted)
+        sp, si, _ = native.extract_subcsc(cache_sorted, self.indptr64, hg.indices)
+        self.hot_max_degree = int(np.diff(sp).max()) if C else 1
+        from dist_gnn_tpu.graph import Graph
+
+        self.hot_graph = Graph(
+            indptr=jnp.asarray(sp),
+            indices=jnp.asarray(si if len(si) else np.zeros(1, np.int32)),
+            probs=None,
+            num_nodes=max(C, 1),
+            num_edges=max(int(len(si)), 1),
+            max_degree=self.hot_max_degree,
+        )
+
+    def hit_rate(self, nids: np.ndarray) -> float:
+        if len(self.sorted_np) == 0:
+            return 0.0
+        pos = np.clip(
+            np.searchsorted(self.sorted_np, nids), 0, len(self.sorted_np) - 1
+        )
+        return float(np.mean(self.sorted_np[pos] == nids))
+
+    def plan_hop(self, seeds_np: np.ndarray, mask_np: np.ndarray, k: int, rng):
+        """Host side: probe hot tier, stage miss adjacency.
+
+        Returns (local_rows_np [L] — hot slot per seed or INVALID,
+        StagedAdjacency).  ``rng`` is a np.random.Generator for the rare
+        host-presampled hub rows.
+        """
+        L = len(seeds_np)
+        C = len(self.sorted_np)
+        safe_seed = np.where(mask_np, seeds_np, 0)
+        if C:
+            pos = np.clip(np.searchsorted(self.sorted_np, safe_seed), 0, C - 1)
+            hit = mask_np & (self.sorted_np[pos] == safe_seed)
+        else:
+            pos = np.zeros(L, np.int64)
+            hit = np.zeros(L, bool)
+        local_rows = np.where(hit, pos, INVALID_ID).astype(np.int32)
+
+        miss_idx = np.flatnonzero(mask_np & ~hit)
+        M = self.miss_budget
+        overflow = max(0, len(miss_idx) - M)
+        miss_idx = miss_idx[:M]
+        m = len(miss_idx)
+        Dcap = self.deg_cap
+
+        window = np.zeros((M, Dcap), np.int32)
+        deg_out = np.zeros(M, np.int32)
+        row_of = np.full(M, L, np.int32)  # pad → out-of-bounds scatter drop
+        pre_ids = np.full((M, k), INVALID_ID, np.int32)
+        pre_mask = np.zeros((M, k), bool)
+        is_pre = np.zeros(M, bool)
+        if m:
+            ids = seeds_np[miss_idx]
+            start = self.indptr64[ids]
+            deg = (self.indptr64[ids + 1] - start).astype(np.int64)
+            row_of[:m] = miss_idx
+            deg_out[:m] = np.minimum(deg, np.iinfo(np.int32).max)
+            small = deg <= Dcap
+            # small rows: one vectorised window gather (clipped fancy index)
+            pos_mat = start[:, None] + np.arange(Dcap)[None, :]
+            pos_mat = np.clip(pos_mat, 0, max(len(self.hg.indices) - 1, 0))
+            win = self.hg.indices[pos_mat]
+            win[~(np.arange(Dcap)[None, :] < deg[:, None])] = 0
+            win[~small] = 0
+            window[:m] = win
+            # huge rows: host-side exact k-of-deg draw (few of them)
+            for j in np.flatnonzero(~small):
+                d = int(deg[j])
+                picks = rng.choice(d, size=min(k, d), replace=False)
+                row = self.hg.indices[start[j] : start[j] + d][picks]
+                pre_ids[j, : len(row)] = row
+                pre_mask[j, : len(row)] = True
+                is_pre[j] = True
+        return local_rows, StagedAdjacency(
+            window=jax.device_put(window),
+            deg=jax.device_put(deg_out),
+            row_of=jax.device_put(row_of),
+            pre_ids=jax.device_put(pre_ids),
+            pre_mask=jax.device_put(pre_mask),
+            is_pre=jax.device_put(is_pre),
+            count=m,
+            overflow=overflow,
+        )
+
+
+def sample_staged_hop(
+    hot_graph,  # Graph pytree — pass store.hot_graph as a jit ARGUMENT
+    local_rows: jnp.ndarray,  # [L] hot slots (INVALID on miss)
+    staged: StagedAdjacency,
+    k: int,
+    key: jax.Array,
+):
+    """Inside jit: hot-tier Feistel sampling + staged-window sampling.
+
+    Returns SampledNeighbors-[L, k] aligned with the hop's seeds.
+    """
+    from dist_gnn_tpu.ops import prng
+    from dist_gnn_tpu.ops.sampling import SampledNeighbors, sample_uniform
+
+    L = local_rows.shape[0]
+    nb_hot = sample_uniform(hot_graph, local_rows, k, False, key)
+
+    # staged rows: k-of-deg Feistel draw over the dense window
+    M, Dcap = staged.window.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, k), 1)
+    row_key = prng.random_keys(jax.random.fold_in(key, 1), (M,))
+    deg_eff = jnp.minimum(staged.deg, Dcap)[:, None]
+    perm = prng.feistel_permutation(j, jnp.maximum(deg_eff, 1), row_key[:, None])
+    sel = jnp.where(deg_eff <= k, j, perm)
+    smask = (~staged.is_pre[:, None]) & (j < jnp.minimum(deg_eff, k))
+    # compare+mask+reduce selection (take_along_axis lowers to per-element
+    # gather — see ops/sampling._window_fetch)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Dcap), 2)
+    hitm = w_iota == jnp.clip(sel, 0, Dcap - 1)[:, :, None]
+    ids_win = jnp.sum(jnp.where(hitm, staged.window[:, None, :], 0), axis=2)
+    ids_m = jnp.where(staged.is_pre[:, None], staged.pre_ids, ids_win)
+    mask_m = jnp.where(staged.is_pre[:, None], staged.pre_mask, smask)
+
+    # scatter staged results back to seed positions (pad row_of = L drops)
+    ids = jnp.where(nb_hot.mask, nb_hot.ids, INVALID_ID)
+    mask = nb_hot.mask
+    ids = jnp.full((L + 1, k), INVALID_ID, jnp.int32).at[:L].set(ids)
+    mask = jnp.zeros((L + 1, k), bool).at[:L].set(mask)
+    ids = ids.at[staged.row_of].set(
+        jnp.where(mask_m, ids_m, INVALID_ID), mode="drop"
+    )[:L]
+    mask = mask.at[staged.row_of].set(mask_m, mode="drop")[:L]
+    return SampledNeighbors(ids=ids, mask=mask)

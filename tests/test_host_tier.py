@@ -1,0 +1,236 @@
+"""Host-resident base tier: staged feature assembly, staged structure
+sampling, and the double-buffered pipeline trainer (all on CPU devices).
+
+This is the graph-bigger-than-HBM capability (reference: pinned host memory
++ UVA miss reads, ``src/common/pin_memory.cc``, ``feature_ops.cu:140-210``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import INVALID_ID, HostGraph
+from dist_gnn_tpu.host_tier import (
+    HostCSCStore,
+    HostFeatureStore,
+    assemble_features,
+    sample_staged_hop,
+)
+from dist_gnn_tpu.models import SAGE
+from dist_gnn_tpu.training.pipeline import HostTierTrainer
+
+
+class TestHostFeatureStore:
+    def test_assembled_rows_match_oracle(self):
+        rng = np.random.default_rng(0)
+        N, F = 500, 16
+        base = rng.standard_normal((N, F)).astype(np.float32)
+        hot_ids = rng.choice(N, 80, replace=False).astype(np.int32)
+        store = HostFeatureStore(base, hot_ids, miss_budget=96)
+
+        L = 96
+        frontier = rng.integers(0, N, L).astype(np.int32)
+        fmask = rng.random(L) < 0.9
+        frontier = np.where(fmask, frontier, INVALID_ID).astype(np.int32)
+
+        staged = store.stage(frontier, fmask)
+        assert staged.overflow == 0
+        out = jax.jit(assemble_features)(
+            store.hot_tier, jnp.asarray(frontier), jnp.asarray(fmask),
+            staged.rows, staged.slots,
+        )
+        expect = np.where(fmask[:, None], base[np.where(fmask, frontier, 0)], 0)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+        # both tiers actually exercised
+        assert staged.count > 0
+        assert store.hit_rate(frontier[fmask]) > 0
+
+    def test_miss_overflow_counted_not_silent(self):
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((300, 4)).astype(np.float32)
+        store = HostFeatureStore(base, np.arange(10), miss_budget=5)
+        frontier = rng.integers(20, 300, 40).astype(np.int32)  # all miss
+        staged = store.stage(frontier, np.ones(40, bool))
+        assert staged.count == 5
+        assert staged.overflow == 35
+
+    def test_memmap_base(self, tmp_path):
+        """The base tier works from an np.memmap — nothing uploaded
+        wholesale (bigger-than-RAM-capable layout)."""
+        rng = np.random.default_rng(2)
+        N, F = 200, 8
+        arr = rng.standard_normal((N, F)).astype(np.float32)
+        p = tmp_path / "feat.npy"
+        np.save(p, arr)
+        mm = np.load(p, mmap_mode="r")
+        store = HostFeatureStore(mm, np.arange(20), miss_budget=64)
+        frontier = rng.integers(0, N, 50).astype(np.int32)
+        staged = store.stage(frontier, np.ones(50, bool))
+        out = assemble_features(
+            store.hot_tier, jnp.asarray(frontier), jnp.ones(50, bool),
+            staged.rows, staged.slots,
+        )
+        np.testing.assert_allclose(np.asarray(out), arr[frontier], rtol=1e-6)
+
+
+class TestHostCSCStore:
+    def _graph(self, seed=3, N=300, E=2400, hub_deg=200):
+        rng = np.random.default_rng(seed)
+        src = np.concatenate(
+            [rng.integers(0, N, E), rng.integers(0, N, hub_deg)]
+        )
+        dst = np.concatenate(
+            [rng.integers(1, N, E), np.zeros(hub_deg, np.int64)]  # node 0 = hub
+        )
+        return HostGraph.from_coo(src, dst, N), rng
+
+    def test_staged_hop_matches_csc(self):
+        hg, rng = self._graph()
+        N = hg.num_nodes
+        hot_ids = rng.choice(N, 60, replace=False).astype(np.int32)
+        store = HostCSCStore(hg, hot_ids, miss_budget=128, deg_cap=32)
+
+        L, k = 64, 5
+        seeds = rng.integers(0, N, L).astype(np.int32)
+        mask = np.ones(L, bool)
+        local_rows, staged = store.plan_hop(seeds, mask, k, rng)
+        assert staged.overflow == 0
+        nb = jax.jit(sample_staged_hop, static_argnames=("k",))(
+            store.hot_graph, jnp.asarray(local_rows), staged, k=k,
+            key=jax.random.key(0),
+        )
+        ids, msk = np.asarray(nb.ids), np.asarray(nb.mask)
+        indptr = np.asarray(hg.indptr, np.int64)
+        indices = np.asarray(hg.indices)
+        from collections import Counter
+
+        for i in range(L):
+            deg = int(indptr[seeds[i] + 1] - indptr[seeds[i]])
+            assert msk[i].sum() == min(deg, k), (i, seeds[i], deg)
+            row = Counter(indices[indptr[seeds[i]] : indptr[seeds[i] + 1]].tolist())
+            got = Counter(ids[i][msk[i]].tolist())
+            for g, c in got.items():
+                # distinct edge positions (multi-edges may repeat an id)
+                assert c <= row[g], (i, seeds[i], g, c, row[g])
+
+    def test_hub_rows_host_presampled(self):
+        hg, rng = self._graph()
+        store = HostCSCStore(hg, np.asarray([5, 6]), miss_budget=8, deg_cap=16)
+        seeds = np.zeros(4, np.int32)  # the hub (deg > deg_cap), not cached
+        local_rows, staged = store.plan_hop(seeds, np.ones(4, bool), 3, rng)
+        assert np.asarray(staged.is_pre)[:4].all()
+        nb = sample_staged_hop(
+            store.hot_graph, jnp.asarray(local_rows), staged, 3,
+            jax.random.key(1),
+        )
+        assert np.asarray(nb.mask)[:4].all()
+        indptr = np.asarray(hg.indptr, np.int64)
+        row = set(np.asarray(hg.indices)[indptr[0] : indptr[1]].tolist())
+        assert set(np.asarray(nb.ids)[:4][np.asarray(nb.mask)[:4]].tolist()) <= row
+
+
+class TestHostTierTrainer:
+    def _problem(self, seed=4):
+        arrays, meta = make_synthetic_dataset(
+            num_nodes=800, avg_degree=6, feature_dim=12, num_classes=4,
+            train_frac=0.5, seed=seed,
+        )
+        hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+        return arrays, meta, hg
+
+    def test_pipeline_learns_with_host_features(self):
+        arrays, meta, hg = self._problem()
+        graph = hg.to_device()
+        rng = np.random.default_rng(0)
+        # hot tier deliberately much smaller than the feature matrix: the
+        # base stays host-side (the bigger-than-HBM scenario)
+        hot = rng.choice(meta["num_nodes"], 100, replace=False)
+        fstore = HostFeatureStore(
+            arrays["features"], hot, miss_budget=4096
+        )
+        model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+        trainer = HostTierTrainer(model=model, fan_out=(4, 4), store=fstore)
+        state = trainer.init_state(jax.random.key(0))
+        train = arrays["train_idx"]
+        batches = []
+        for s in range(24):
+            sel = np.random.default_rng(s).choice(len(train), 64, replace=False)
+            batches.append((train[sel], np.ones(64, bool)))
+        labels = np.asarray(arrays["labels"], np.int32)
+        state, metrics = trainer.train_batches(
+            state, graph, labels, batches, jax.random.key(7)
+        )
+        assert len(metrics) == 24
+        assert all(m["feat_overflow"] == 0 for m in metrics)
+        assert any(m["feat_miss"] > 0 for m in metrics)
+        losses = [float(m["loss"]) for m in metrics]
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_pipeline_matches_sequential_params(self):
+        """Double-buffering must not change the math: pipelined params ==
+        strictly sequential sample→stage→compute with identical keys."""
+        arrays, meta, hg = self._problem(seed=5)
+        graph = hg.to_device()
+        hot = np.arange(50)
+        fstore = HostFeatureStore(arrays["features"], hot, miss_budget=2048)
+        model = SAGE(meta["feature_dim"], 8, meta["num_classes"], 2, dropout=0.0)
+        trainer = HostTierTrainer(model=model, fan_out=(3, 3), store=fstore)
+        labels = np.asarray(arrays["labels"], np.int32)
+        train = arrays["train_idx"]
+        batches = [
+            (train[(np.arange(32) + 32 * s) % len(train)], np.ones(32, bool))
+            for s in range(6)
+        ]
+        key = jax.random.key(11)
+
+        state_p, _ = trainer.train_batches(
+            trainer.init_state(jax.random.key(0)), graph, labels, batches, key
+        )
+
+        state_s = trainer.init_state(jax.random.key(0))
+        for i, (seeds, mask) in enumerate(batches):
+            k_i = jax.random.fold_in(key, i)
+            blocks, _ = trainer._sample_device(
+                graph, jnp.asarray(seeds), jnp.asarray(mask), k_i
+            )
+            staged = fstore.stage(
+                np.asarray(blocks[-1].frontier),
+                np.asarray(blocks[-1].frontier_mask),
+            )
+            lab = labels[np.where(mask, seeds, 0)].astype(np.int32)
+            state_s, _ = trainer.compute_step(
+                state_s, fstore.hot_tier, blocks, staged.rows, staged.slots,
+                jnp.asarray(lab), jnp.asarray(mask), jax.random.fold_in(k_i, 1),
+            )
+        for a, b in zip(jax.tree.leaves(state_p.params), jax.tree.leaves(state_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_full_host_residency_structure_and_features(self):
+        """Both structure AND features host-resident: per-hop staged
+        sampling + staged feature assembly, end-to-end learning."""
+        arrays, meta, hg = self._problem(seed=6)
+        rng = np.random.default_rng(1)
+        hot_struct = rng.choice(meta["num_nodes"], 150, replace=False)
+        hot_feat = rng.choice(meta["num_nodes"], 100, replace=False)
+        gstore = HostCSCStore(hg, hot_struct, miss_budget=4096, deg_cap=32)
+        fstore = HostFeatureStore(arrays["features"], hot_feat, miss_budget=4096)
+        model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+        trainer = HostTierTrainer(
+            model=model, fan_out=(4, 4), store=fstore, gstore=gstore
+        )
+        state = trainer.init_state(jax.random.key(0))
+        labels = np.asarray(arrays["labels"], np.int32)
+        train = arrays["train_idx"]
+        batches = []
+        for s in range(20):
+            sel = np.random.default_rng(100 + s).choice(len(train), 64, replace=False)
+            batches.append((train[sel], np.ones(64, bool)))
+        state, metrics = trainer.train_batches(
+            state, None, labels, batches, jax.random.key(3)
+        )
+        assert all(m["struct_overflow"] == 0 for m in metrics)
+        assert any(m["struct_miss"] > 0 for m in metrics)
+        losses = [float(m["loss"]) for m in metrics]
+        assert losses[-1] < losses[0] * 0.85, losses
