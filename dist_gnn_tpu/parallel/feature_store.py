@@ -65,6 +65,7 @@ def make_request(
     axis_name: str,
     shard_size: int,
     budget: int,
+    owners: Optional[jnp.ndarray] = None,  # [L] explicit owner per id
 ) -> Tuple[ExchangePlan, jnp.ndarray, jnp.ndarray]:
     """Bucket ids by owner and all-to-all the request table.
 
@@ -72,6 +73,11 @@ def make_request(
     overflow count).  The request/serve/response split lets callers decide
     what the owner computes per requested row (a feature gather, a neighbor
     sample, ...) before calling :func:`return_response`.
+
+    ``owners`` overrides the default node-range routing (``nid //
+    shard_size``) — used by the hierarchical exchange (route by owner
+    *host*) and the peer-hot-tier exchange (route by the cache plan's
+    owner table).
     """
     n = jax.lax.axis_size(axis_name)
     L = ids.shape[0]
@@ -81,7 +87,10 @@ def make_request(
     # so per-element ranks come from n masked cumsums (O(n*L) VPU work)
     # instead of an O(L log L) multi-pass XLA sort — the sort dominated the
     # exchange at frontier sizes (~13 ms at L=540k vs ~1 ms for this).
-    owner = jnp.where(mask, jnp.clip(ids // shard_size, 0, n - 1), n)
+    if owners is None:
+        owner = jnp.where(mask, jnp.clip(ids // shard_size, 0, n - 1), n)
+    else:
+        owner = jnp.where(mask & (owners >= 0) & (owners < n), owners, n)
     if n <= 16:
         # [n, L] masked cumsum — cheapest for small meshes
         is_owner = (
@@ -162,6 +171,73 @@ def exchange_gather(
     return out, overflow
 
 
+def exchange_gather_hier(
+    local_shard: jnp.ndarray,  # [shard_size, F] — this chip's row range
+    ids: jnp.ndarray,  # [L]
+    mask: jnp.ndarray,  # [L]
+    host_axis: str,
+    data_axis: str,
+    shard_size: int,
+    budget_host: Optional[int] = None,
+    budget_data: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage hierarchical exchange for a ('host', 'data') mesh.
+
+    The reference's multi-node topology keeps the P2P cache *intra-node*
+    and only DDP crosses nodes (``node_classification_dist.py:43-44``); the
+    TPU analog separates the expensive DCN tier from cheap ICI:
+
+      stage 1 (DCN): requests bucketed by *owner host* ride one
+          ``all_to_all`` over the host axis, landing on the peer host's
+          chip with the same intra-host index — each request crosses DCN
+          exactly once, with a per-host budget (coarse, so hub-shard skew
+          within a host does not blow the inter-host budget);
+      stage 2 (ICI): the landed requests re-bucket by *owner chip* and ride
+          an intra-host ``all_to_all``; the owner serves its HBM rows;
+      responses retrace the two stages in reverse.
+
+    Budgets default to ``request_budget`` per tier.  Returns
+    ([L, F] rows, overflow = stage-1 drops + stage-2 relay drops).
+    """
+    H = jax.lax.axis_size(host_axis)
+    D = jax.lax.axis_size(data_axis)
+    L = ids.shape[0]
+    Bh = budget_host if budget_host is not None else request_budget(L, H)
+    # stage-2 default is LOSSLESS given stage 1 (every relayed request may
+    # be owned by a single chip — intra-host skew is structural, and ICI
+    # volume is cheap relative to the DCN stage it protects)
+    Bd = budget_data if budget_data is not None else H * Bh
+
+    owner_global = jnp.where(mask, ids // shard_size, H * D)
+    plan1, recv1, ovf1 = make_request(
+        ids, mask, host_axis, shard_size, Bh, owners=owner_global // D
+    )
+    relay = recv1.reshape(-1)  # [H*Bh] requests now on the owner host
+    rmask = relay != INVALID_ID
+    owner_chip = jnp.where(rmask, (relay // shard_size) % D, D)
+    plan2, recv2, ovf2 = make_request(
+        relay, rmask, data_axis, shard_size, Bd, owners=owner_chip
+    )
+    # serve from the local shard (recv2 ids are owned by this chip)
+    me = jax.lax.axis_index(host_axis) * D + jax.lax.axis_index(data_axis)
+    local_idx = recv2 - me * shard_size
+    serve = (
+        (recv2 != INVALID_ID)
+        & (local_idx >= 0)
+        & (local_idx < local_shard.shape[0])
+    )
+    rows = jnp.where(
+        serve[..., None],
+        local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
+        0,
+    )  # [D, Bd, F]
+    back1 = return_response(plan2, rows, data_axis)  # [H*Bh, F]
+    out = return_response(
+        plan1, back1.reshape(H, Bh, back1.shape[-1]), host_axis
+    )  # [L, F]
+    return out, ovf1 + ovf2
+
+
 class ShardedFeatureStore:
     """Feature matrix row-sharded over a mesh axis, fetched via
     :func:`exchange_gather`, with an optional heat-driven **hot tier**:
@@ -189,11 +265,17 @@ class ShardedFeatureStore:
         budget_slack: float = 2.0,
         hot_ids: Optional[np.ndarray] = None,
         quantize: bool = False,
+        hierarchical: bool = False,  # 2-stage DCN/ICI exchange (tuple axis)
     ):
         from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
 
         self.mesh = mesh
         self.axis_name = tuple(axis_name) if isinstance(axis_name, list) else axis_name
+        self.hierarchical = hierarchical
+        if hierarchical:
+            assert (
+                isinstance(self.axis_name, tuple) and len(self.axis_name) == 2
+            ), "hierarchical exchange needs a ('host', 'data') axis pair"
         self.quantized = quantize
         self.out_dim = features.shape[1]
         if quantize:
@@ -232,6 +314,17 @@ class ShardedFeatureStore:
     def feature_dim(self) -> int:
         return self.out_dim
 
+    def request_budget_for(self, num_ids: int) -> int:
+        """First-stage per-peer budget for a fetch of ``num_ids`` ids:
+        per-chip for the flat exchange, per-HOST for the hierarchical one
+        (coarser buckets — intra-host skew shares the host budget)."""
+        if self.hierarchical:
+            host_ax = self.axis_name[0]
+            return request_budget(
+                num_ids, self.mesh.shape[host_ax], self.budget_slack
+            )
+        return request_budget(num_ids, self.num_shards, self.budget_slack)
+
     def dequantize(self, rows: jnp.ndarray, out_dtype=jnp.float32) -> jnp.ndarray:
         """Undo int8 row packing after a fetch (no-op when not quantized)."""
         if not self.quantized:
@@ -252,6 +345,19 @@ class ShardedFeatureStore:
             return (P(ax, None),)
         return (P(ax, None), P(ax, None), P(ax, None, None))
 
+    def _exchange(self, local_shard, ids, mask, budget):
+        """Flat or hierarchical exchange depending on construction."""
+        if self.hierarchical:
+            host_ax, data_ax = self.axis_name
+            return exchange_gather_hier(
+                local_shard, ids, mask, host_ax, data_ax, self.shard_size,
+                budget_host=budget,
+            )
+        return exchange_gather(
+            local_shard, ids, mask, self.axis_name, self.shard_size,
+            budget=budget,
+        )
+
     def fetch_local(self, shard_args, ids, mask, budget=None):
         """Call inside shard_map over ``self.axis_name``.
 
@@ -260,10 +366,7 @@ class ShardedFeatureStore:
         """
         if self.hot_sorted is None:
             (local_shard,) = shard_args
-            return exchange_gather(
-                local_shard, ids, mask, self.axis_name, self.shard_size,
-                budget=budget,
-            )
+            return self._exchange(local_shard, ids, mask, budget)
         local_shard, hot_sorted, hot_rows = shard_args
         hot_sorted = hot_sorted.reshape(-1)
         hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
@@ -274,10 +377,7 @@ class ShardedFeatureStore:
         hot_out = jnp.where(hit[:, None], hot_rows[pos_c], 0)
         # miss tier: all-to-all to the base shards
         miss_mask = mask & ~hit
-        cold_out, overflow = exchange_gather(
-            local_shard, ids, miss_mask, self.axis_name, self.shard_size,
-            budget=budget,
-        )
+        cold_out, overflow = self._exchange(local_shard, ids, miss_mask, budget)
         return jnp.where(hit[:, None], hot_out, cold_out), overflow
 
     def hot_hit_rate(self, ids: np.ndarray, chip: int = 0) -> float:
@@ -293,12 +393,10 @@ class ShardedFeatureStore:
         per-chip [L]; returns per-chip rows.  Mostly for tests — training
         uses fetch_local inside the fused step."""
         L = ids.shape[0]
-        budget = request_budget(L, self.num_shards, self.budget_slack)
+        budget = self.request_budget_for(L)
 
         def body(shard, ids_, mask_):
-            rows, overflow = exchange_gather(
-                shard, ids_, mask_, self.axis_name, self.shard_size, budget
-            )
+            rows, overflow = self._exchange(shard, ids_, mask_, budget)
             return rows, jax.lax.psum(overflow, self.axis_name)
 
         return jax.shard_map(

@@ -26,8 +26,14 @@ from jax.sharding import Mesh
 
 
 def make_mesh(
-    num_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    hosts: Optional[int] = None,
 ) -> Mesh:
+    """Build the global mesh.  ``hosts`` forces the first-axis size of a
+    2-tier ('host', 'data') mesh (defaults to jax.process_count(); pass
+    explicitly to emulate multi-host grouping on a single process, e.g. a
+    (2, 4) CPU mesh)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
@@ -35,9 +41,9 @@ def make_mesh(
     if len(axis_names) == 1:
         shape = (n,)
     else:
-        # ('host', 'data'): group by process/host when available
-        hosts = max(1, jax.process_count())
-        shape = (hosts, n // hosts)
+        h = hosts if hosts is not None else max(1, jax.process_count())
+        assert n % h == 0, f"{n} devices not divisible into {h} hosts"
+        shape = (h, n // h)
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 

@@ -29,7 +29,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from dist_gnn_tpu.graph import Graph
-from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore, request_budget
+from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore
 from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_cached
 from dist_gnn_tpu.sampler import Block, sample_blocks
 from dist_gnn_tpu.training.trainer import TrainState
@@ -52,6 +52,10 @@ class DistTrainer:
     sampler_big_budget: Optional[int] = None
     relabel_mode: str = "auto"  # 'sort' | 'dense' | 'auto' (see sampler._relabel)
     frontier_caps: Optional[Tuple[int, ...]] = None  # per-hop static budgets
+    # per-peer request-budget slack for the SAMPLING exchange (seeds can
+    # cluster by node range far more than sampled frontiers do; overflow is
+    # reported in metrics['sampler_overflow'] — raise this if nonzero)
+    sampler_budget_slack: float = 4.0
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -59,6 +63,9 @@ class DistTrainer:
             optax.adam(self.lr),
         )
         self.mesh = self.store.mesh
+        # the store's axis layout is authoritative (may be a
+        # ('host', 'data') tuple on a two-tier mesh)
+        self.axis_name = self.store.axis_name
 
     def init_state(self, key: jax.Array) -> TrainState:
         params = self.model.init(key)
@@ -99,12 +106,14 @@ class DistTrainer:
         ``sampler_overflow`` (exchange budget + windowed big-row budget +
         alias shortfall) and ``frontier_overflow`` (frontier-cap drops).
         """
+        from dist_gnn_tpu.parallel.feature_store import request_budget
         from dist_gnn_tpu.sampler import _no_dedup_block, _relabel, _truncate_frontier
 
         blocks = []
         samp_ovf = jnp.int32(0)
         front_ovf = jnp.int32(0)
         keys = jax.random.split(key, len(self.fan_out))
+        n_shards = self.store.num_shards
         for i, k in enumerate(reversed(list(self.fan_out))):
             nb, ovf = sample_neighbors_cached(
                 self.sgraph,
@@ -114,6 +123,9 @@ class DistTrainer:
                 k,
                 self.replace,
                 keys[i],
+                budget=request_budget(
+                    seeds.shape[0], n_shards, self.sampler_budget_slack
+                ),
                 window=self.sampler_window,
                 big_row_budget=self.sampler_big_budget,
             )
@@ -187,7 +199,7 @@ class DistTrainer:
             )
         inp = blocks[-1]
         L = inp.frontier.shape[0]
-        budget = request_budget(L, self.store.num_shards, self.store.budget_slack)
+        budget = self.store.request_budget_for(L)
         feats, overflow = self.store.fetch_local(
             store_args, inp.frontier, inp.frontier_mask, budget=budget
         )
@@ -232,9 +244,7 @@ class DistTrainer:
                 big_row_budget=self.sampler_big_budget,
             )
         inp = blocks[-1]
-        budget = request_budget(
-            inp.frontier.shape[0], self.store.num_shards, self.store.budget_slack
-        )
+        budget = self.store.request_budget_for(inp.frontier.shape[0])
         feats, _ = self.store.fetch_local(
             store_args, inp.frontier, inp.frontier_mask, budget=budget
         )

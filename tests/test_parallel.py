@@ -264,3 +264,118 @@ def test_two_tier_mesh_exchange():
     )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
     assert int(ov) == 0
     np.testing.assert_allclose(np.asarray(rows), feats[ids], rtol=1e-6)
+
+
+def _mesh2x4():
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("host", "data"))
+
+
+def test_hierarchical_exchange_matches_flat():
+    """The two-stage DCN/ICI exchange returns exactly the flat exchange's
+    rows, and its per-HOST budget absorbs intra-host skew that would
+    overflow a per-chip budget."""
+    mesh2 = _mesh2x4()
+    ax = ("host", "data")
+    rng = np.random.default_rng(11)
+    N, F = 960, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    flat = ShardedFeatureStore(feats, mesh2, axis_name=ax)
+    hier = ShardedFeatureStore(feats, mesh2, axis_name=ax, hierarchical=True)
+    L = 64
+    ids = rng.integers(0, N, 8 * L).astype(np.int32)
+    mask = np.ones(8 * L, bool)
+    r0, ov0 = flat.fetch(jnp.asarray(ids), jnp.asarray(mask))
+    r1, ov1 = hier.fetch(jnp.asarray(ids), jnp.asarray(mask))
+    assert int(ov0) == 0 and int(ov1) == 0
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), feats[ids], rtol=1e-6)
+
+    # skew: each chip asks only for chip 0's rows (host 0) and chip 4's
+    # rows (host 1), 32 each.  A slack-1.0 per-chip budget (64/8 = 8)
+    # overflows 4x per owner; the per-host budget (64/2 = 32) is exactly
+    # sufficient because skew *within* a host shares the host bucket.
+    from jax.sharding import PartitionSpec as P
+
+    ss = flat.shard_size
+    per_chip = np.concatenate(
+        [
+            np.stack(
+                [
+                    rng.integers(0, ss, 32),  # chip 0 range
+                    rng.integers(4 * ss, min(5 * ss, N), 32),  # chip 4 range
+                ]
+            ).reshape(-1)
+            for _ in range(8)
+        ]
+    ).astype(np.int32)
+
+    def run(store, budget):
+        def body(args, i_, m_):
+            rows, ov = store.fetch_local(args, i_, m_, budget=budget)
+            return rows, jax.lax.psum(ov, ax)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh2,
+            in_specs=(store.shard_specs(), P(ax), P(ax)),
+            out_specs=(P(ax), P()),
+            check_vma=False,
+        )(store.shard_args(), jnp.asarray(per_chip), jnp.asarray(mask))
+
+    from dist_gnn_tpu.parallel.feature_store import request_budget
+
+    _, ovf = run(flat, request_budget(L, 8, 1.0))
+    r2, ovh = run(hier, request_budget(L, 2, 1.0))
+    assert int(ovf) > 0  # flat per-chip budget too tight under skew
+    assert int(ovh) == 0  # hierarchical per-host budget absorbs it
+    np.testing.assert_allclose(np.asarray(r2), feats[per_chip], rtol=1e-6)
+
+
+def test_two_tier_dist_trainer_end_to_end():
+    """Full DistTrainer on the ('host', 'data') mesh: owner-side sampled
+    structure + hierarchical feature exchange + grad psum over both axes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dist_gnn_tpu.parallel.graph_dist import ShardedGraph
+
+    mesh2 = _mesh2x4()
+    ax = ("host", "data")
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1200, avg_degree=8, feature_dim=16, num_classes=4,
+        train_frac=0.4, seed=13,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    sg = ShardedGraph.build(hg, mesh2, axis_name=ax)
+    store = ShardedFeatureStore(
+        arrays["features"], mesh2, axis_name=ax, hierarchical=True
+    )
+    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+    labels = jax.device_put(labels_padded, NamedSharding(mesh2, P(ax, None)))
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistTrainer(model=model, fan_out=(4, 4), store=store, sgraph=sg)
+    assert trainer.axis_name == ax
+    state = trainer.init_state(jax.random.key(0))
+    train = arrays["train_idx"]
+    B = 16 * 8
+    losses = []
+    for step in range(20):
+        sel = np.random.default_rng(step).choice(len(train), B, replace=False)
+        state, m = trainer.train_step(
+            state, sg.shard_args(), labels, jnp.asarray(train[sel]),
+            jnp.ones(B, bool), jax.random.key(6),
+        )
+        losses.append(float(m["loss"]))
+        assert int(m["overflow"]) == 0
+        assert int(m["sampler_overflow"]) == 0
+    assert losses[-1] < losses[0] * 0.9, losses
+
+    # eval on the 2-tier mesh as well
+    c, t = trainer.eval_step(
+        state.params, sg.shard_args(), labels,
+        jnp.asarray(arrays["valid_idx"][np.arange(B) % len(arrays["valid_idx"])]),
+        jnp.ones(B, bool), jax.random.key(2),
+    )
+    assert int(t) == B and 0 <= int(c) <= B
