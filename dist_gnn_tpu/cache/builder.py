@@ -21,7 +21,7 @@ from dist_gnn_tpu.cache.policy import (
     get_cache_nids_selfless,
 )
 from dist_gnn_tpu.graph import HostGraph, INVALID_ID
-from dist_gnn_tpu.ops.heat import get_node_heat
+from dist_gnn_tpu.ops.heat import get_node_heat_all
 
 
 def compute_heats(
@@ -33,14 +33,15 @@ def compute_heats(
 
     Each device's heat is propagated from its own train-seed partition
     (parity with the reference, where every rank runs get_node_heat over
-    its local train nids — ``node_classification.py:57``)."""
+    its local train nids — ``node_classification.py:57``).  All D
+    propagations share one streamed edge sweep per hop (get_node_heat_all),
+    so planning never materialises [nnz] state and costs one pass, not D."""
     graph = hg.to_device()
-    s_heats, f_heats = [], []
-    for part in train_parts:
-        s, f = get_node_heat(graph, jnp.asarray(part, jnp.int32), list(fan_out))
-        s_heats.append(np.asarray(s))
-        f_heats.append(np.asarray(f))
-    return np.stack(s_heats), np.stack(f_heats)
+    seeds = np.zeros((len(train_parts), hg.num_nodes), np.float32)
+    for d, part in enumerate(train_parts):
+        seeds[d, np.asarray(part)] = 1.0
+    s, f = get_node_heat_all(graph, jnp.asarray(seeds), list(fan_out))
+    return np.asarray(s), np.asarray(f)
 
 
 def _pad_plans(plans, pad_to: Optional[int] = None) -> np.ndarray:

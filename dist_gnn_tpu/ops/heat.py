@@ -12,11 +12,15 @@ Parity with the reference heat kernels
       seeds_heat    += frontier_heat
   and finally ``feature_heat = sampling_heat + last frontier_heat``.
 
-TPU redesign: instead of launching a thread per hot seed that serially walks
-its edges with AtomicAdd, we compute the per-edge message for *all* edges
-(rows with zero heat contribute exactly 0) and ``segment_sum`` into source
-nodes — one dense O(nnz) pass per hop, MXU/VPU-friendly, no atomics.  The
-edge→row map is ``Graph.edge_rows()`` (static [nnz]).
+TPU redesign (scale-hardened): instead of launching a thread per hot seed
+that serially walks its edges with AtomicAdd, edges are processed in
+fixed-size chunks under a ``lax.scan``: each chunk derives its edge→row map
+on the fly (``searchsorted(indptr, e)``, [chunk] ints — never the [nnz]
+array the naive formulation needs, which would be 13 GB for papers400M),
+gathers the row-constant message values, and scatter-adds into the
+frontier-heat accumulator.  All D devices' propagations ride the same edge
+pass as a [D, chunk] message block, so planning for a pod costs one graph
+sweep, not D.
 """
 
 from __future__ import annotations
@@ -25,8 +29,115 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from dist_gnn_tpu.graph import Graph
+
+# Edges per scan step of the streamed propagation. Peak memory per step is
+# O(D * chunk) — independent of nnz.
+DEFAULT_CHUNK_EDGES = 1 << 20
+
+
+def _row_prob_sums(graph: Graph, chunk: int) -> jnp.ndarray:
+    """Per-row sum of edge probs, streamed (no [nnz] edge_rows)."""
+    N, nnz = graph.num_nodes, graph.num_edges
+    n_chunks = -(-nnz // chunk)
+    probs = jnp.pad(graph.probs, (0, n_chunks * chunk - nnz))
+
+    def body(acc, c):
+        e0 = (c * chunk).astype(graph.indptr.dtype)
+        e = e0 + jnp.arange(chunk, dtype=graph.indptr.dtype)
+        rows = jnp.clip(
+            jnp.searchsorted(graph.indptr, e, side="right") - 1, 0, N - 1
+        ).astype(jnp.int32)
+        p = lax.dynamic_slice(probs, (e0.astype(jnp.int32),), (chunk,))
+        p = jnp.where(e < nnz, p, 0.0)
+        return acc.at[rows].add(p), None
+
+    acc = jnp.zeros((N,), jnp.float32)
+    acc, _ = lax.scan(body, acc, jnp.arange(n_chunks))
+    return acc
+
+
+def frontier_heat_all(
+    graph: Graph,
+    seeds_heat: jnp.ndarray,  # [D, N]
+    num_picks: int | jnp.ndarray,
+    chunk: int = DEFAULT_CHUNK_EDGES,
+    row_prob_sum: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """One hop of heat propagation for D seed sets at once: [D, N].
+
+    Matches the reference per-edge message exactly; the uniform message is
+    row-constant so it is computed once per row and broadcast over the
+    row's edges by the streamed scatter.
+    """
+    D, N = seeds_heat.shape
+    nnz = graph.num_edges
+    chunk = min(chunk, max(nnz, 1))
+    deg = (graph.indptr[1:] - graph.indptr[:-1]).astype(jnp.float32)
+    if graph.probs is not None:
+        denom = jnp.where(row_prob_sum > 0, row_prob_sum, 1.0)
+        # per-edge msg = min(1, factor[row] * p_e)
+        row_val = seeds_heat * num_picks / denom[None, :]
+    else:
+        safe_deg = jnp.where(deg > 0, deg, 1.0)
+        row_val = jnp.minimum(1.0, seeds_heat * num_picks / safe_deg[None, :])
+
+    n_chunks = -(-nnz // chunk)
+    pad = n_chunks * chunk - nnz
+    indices = jnp.pad(graph.indices, (0, pad), constant_values=N)  # OOB → drop
+    probs = (
+        jnp.pad(graph.probs, (0, pad)) if graph.probs is not None else None
+    )
+
+    def body(acc, c):
+        e0 = (c * chunk).astype(graph.indptr.dtype)
+        e = e0 + jnp.arange(chunk, dtype=graph.indptr.dtype)
+        rows = jnp.clip(
+            jnp.searchsorted(graph.indptr, e, side="right") - 1, 0, N - 1
+        ).astype(jnp.int32)
+        srcs = lax.dynamic_slice(indices, (e0.astype(jnp.int32),), (chunk,))
+        vals = row_val[:, rows]  # [D, chunk]
+        if probs is not None:
+            p = lax.dynamic_slice(probs, (e0.astype(jnp.int32),), (chunk,))
+            vals = jnp.minimum(1.0, vals * p[None, :])
+        vals = jnp.where(e[None, :] < nnz, vals, 0.0)
+        # OOB (padding) srcs are dropped by scatter mode="drop"
+        return acc.at[:, srcs].add(vals, mode="drop"), None
+
+    acc = jnp.zeros((D, N), jnp.float32)
+    acc, _ = lax.scan(body, acc, jnp.arange(n_chunks))
+    return acc
+
+
+def get_node_heat_all(
+    graph: Graph,
+    seeds_heat: jnp.ndarray,  # [D, N] initial (1.0 at each device's seeds)
+    fan_out,
+    chunk: int = DEFAULT_CHUNK_EDGES,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sampling_heat, feature_heat) for D seed partitions: each [D, N].
+
+    One streamed edge sweep per hop serves every device's propagation
+    (vs the reference where each rank runs its own full-graph kernel —
+    ``node_classification.py:57``).
+    """
+    row_prob_sum = (
+        _row_prob_sums(graph, min(chunk, max(graph.num_edges, 1)))
+        if graph.probs is not None
+        else None
+    )
+    sampling_heat = jnp.zeros_like(seeds_heat)
+    frontier_heat = jnp.zeros_like(seeds_heat)
+    for k in reversed(list(fan_out)):
+        frontier_heat = frontier_heat_all(
+            graph, seeds_heat, k, chunk, row_prob_sum
+        )
+        sampling_heat = sampling_heat + seeds_heat
+        seeds_heat = seeds_heat + frontier_heat
+    feature_heat = sampling_heat + frontier_heat
+    return sampling_heat, feature_heat
 
 
 @jax.jit
@@ -34,21 +145,14 @@ def frontier_heat_step(
     graph: Graph, seeds_heat: jnp.ndarray, num_picks: int | jnp.ndarray
 ) -> jnp.ndarray:
     """One hop of heat propagation; returns frontier_heat [num_nodes]."""
-    edge_rows = graph.edge_rows()
-    deg = (graph.indptr[1:] - graph.indptr[:-1]).astype(jnp.float32)
-    heat_per_edge = seeds_heat[edge_rows]
-    if graph.probs is not None:
-        row_prob_sum = jax.ops.segment_sum(
-            graph.probs, edge_rows, num_segments=graph.num_nodes
-        )
-        denom = jnp.where(row_prob_sum > 0, row_prob_sum, 1.0)[edge_rows]
-        msg = jnp.minimum(1.0, heat_per_edge * num_picks * graph.probs / denom)
-    else:
-        deg_per_edge = deg[edge_rows]
-        msg = jnp.minimum(1.0, heat_per_edge * num_picks / deg_per_edge)
-    return jax.ops.segment_sum(
-        msg, graph.indices, num_segments=graph.num_nodes
+    row_prob_sum = (
+        _row_prob_sums(graph, min(DEFAULT_CHUNK_EDGES, max(graph.num_edges, 1)))
+        if graph.probs is not None
+        else None
     )
+    return frontier_heat_all(
+        graph, seeds_heat[None, :], num_picks, row_prob_sum=row_prob_sum
+    )[0]
 
 
 def get_node_heat(
@@ -58,12 +162,10 @@ def get_node_heat(
 
     Matches ``cache_value.py:26-53`` including the accumulation order.
     """
-    seeds_heat = jnp.zeros((graph.num_nodes,), jnp.float32).at[train_nids].set(1.0)
-    sampling_heat = jnp.zeros_like(seeds_heat)
-    frontier_heat = jnp.zeros_like(seeds_heat)
-    for k in reversed(list(fan_out)):
-        frontier_heat = frontier_heat_step(graph, seeds_heat, k)
-        sampling_heat = sampling_heat + seeds_heat
-        seeds_heat = seeds_heat + frontier_heat
-    feature_heat = sampling_heat + frontier_heat
-    return sampling_heat, feature_heat
+    seeds_heat = (
+        jnp.zeros((1, graph.num_nodes), jnp.float32)
+        .at[0, train_nids]
+        .set(1.0)
+    )
+    s, f = get_node_heat_all(graph, seeds_heat, fan_out)
+    return s[0], f[0]

@@ -72,6 +72,61 @@ def test_heat_bias_matches_oracle():
     np.testing.assert_allclose(np.asarray(f), fo, rtol=1e-4)
 
 
+def test_heat_streamed_chunking_matches_oracle():
+    """Multi-chunk streamed path (chunk << nnz, with tail padding) must be
+    identical to the single-chunk path and the oracle."""
+    from dist_gnn_tpu.ops.heat import get_node_heat_all
+
+    hg = random_host_graph(n=150, e=1777, seed=3)
+    train = np.arange(0, 150, 5)
+    seeds = np.zeros((1, 150), np.float32)
+    seeds[0, train] = 1.0
+    g = hg.to_device()
+    s, f = get_node_heat_all(g, jnp.asarray(seeds), [5, 10], chunk=256)
+    so, fo = oracle_heat(hg.indptr, hg.indices, train, [5, 10])
+    np.testing.assert_allclose(np.asarray(s[0]), so, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f[0]), fo, rtol=1e-5)
+
+
+def test_heat_multi_device_single_sweep():
+    """get_node_heat_all([D, N]) == D independent get_node_heat runs."""
+    from dist_gnn_tpu.ops.heat import get_node_heat, get_node_heat_all
+
+    hg = random_host_graph(n=120, e=900, probs=True, seed=4)
+    g = hg.to_device()
+    parts = [np.arange(0, 120, 3), np.arange(1, 120, 4), np.arange(2, 120, 7)]
+    seeds = np.zeros((3, 120), np.float32)
+    for d, p in enumerate(parts):
+        seeds[d, p] = 1.0
+    s_all, f_all = get_node_heat_all(g, jnp.asarray(seeds), [4, 6], chunk=128)
+    for d, p in enumerate(parts):
+        s, f = get_node_heat(g, jnp.asarray(p), [4, 6])
+        np.testing.assert_allclose(np.asarray(s_all[d]), np.asarray(s), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(f_all[d]), np.asarray(f), rtol=1e-4)
+
+
+def test_heat_int64_indptr_path():
+    """The streamed row derivation must work with an int64 indptr (the
+    dtype graphs with >= 2^31 edges get — graph.py _min_indptr_dtype)."""
+    from dist_gnn_tpu.graph import Graph
+    from dist_gnn_tpu.ops.heat import get_node_heat
+
+    hg = random_host_graph(n=80, e=640, seed=5)
+    g64 = Graph(
+        indptr=jnp.asarray(hg.indptr, jnp.int64),
+        indices=jnp.asarray(hg.indices),
+        probs=None,
+        num_nodes=hg.num_nodes,
+        num_edges=hg.num_edges,
+        max_degree=hg.max_degree,
+    )
+    train = np.arange(0, 80, 9)
+    s64, f64 = get_node_heat(g64, jnp.asarray(train), [3, 5])
+    so, fo = oracle_heat(hg.indptr, hg.indices, train, [3, 5])
+    np.testing.assert_allclose(np.asarray(s64), so, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f64), fo, rtol=1e-5)
+
+
 class TestPolicy:
     def setup_method(self):
         self.hg = random_host_graph(n=100, e=600, seed=1)
