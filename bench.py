@@ -59,8 +59,14 @@ def main():
     fan_out = (15, 10, 5)
     batch = 512
     features = features.astype(jnp.bfloat16)  # halves gather traffic
+    # pad the store to a 128 multiple so the multi-row Pallas gather is
+    # legal; the padded columns are zero, so the extra W rows get zero
+    # gradient and the math is unchanged (same logits).
+    fpad = (-features.shape[1]) % 128
+    if fpad:
+        features = jnp.pad(features, ((0, 0), (0, fpad)))
     model = SAGE(
-        meta["feature_dim"],
+        features.shape[1],
         256,
         meta["num_classes"],
         len(fan_out),
@@ -77,6 +83,8 @@ def main():
         sampler_window=128,
         sampler_big_budget=5120,  # covers this graph hub-row count (~3.4k
         # frontier rows exceed the window; 2048 dropped 4.7% of edges)
+        gather_group=16,  # multi-row Pallas gather: 499M rows/s vs XLA's
+        # 91M on this chip (scripts/bench_gather.py)
     )
     state = trainer.init_state(jax.random.key(0))
 

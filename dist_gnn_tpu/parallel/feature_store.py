@@ -266,6 +266,7 @@ class ShardedFeatureStore:
         hot_ids: Optional[np.ndarray] = None,
         quantize: bool = False,
         hierarchical: bool = False,  # 2-stage DCN/ICI exchange (tuple axis)
+        peer_hot: bool = False,  # serve misses from PEER hot tiers (selfless)
     ):
         from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
 
@@ -296,6 +297,8 @@ class ShardedFeatureStore:
         self.pspec = spec
 
         self.hot_sorted = self.hot_slots = self.hot_rows = None
+        self.union_sorted = self.union_owner = None
+        self.peer_hot = peer_hot
         if hot_ids is not None:
             assert hot_ids.shape[0] == n
             C = hot_ids.shape[1]
@@ -309,6 +312,29 @@ class ShardedFeatureStore:
             sh3 = NamedSharding(mesh, P(axis_name, None, None))
             self.hot_sorted = jax.device_put(sorted_ids, sh)
             self.hot_rows = jax.device_put(rows, sh3)
+            if peer_hot:
+                # Replicated union routing table: id -> owning chip.  The
+                # analog of the reference's (key, idx, devid) hashmap
+                # (``CreateNidsP2PCacheHashMapCUDA``, hashmap.cu:15-72);
+                # duplicates resolve to the lowest chip (every chip probes
+                # its LOCAL tier first, so the winner only matters for
+                # remote routing, where any caching peer is equivalent).
+                assert not hierarchical, (
+                    "peer_hot is implemented for the flat exchange axis"
+                )
+                from dist_gnn_tpu.ops.hashtable import SortedIdTable
+
+                flat = hot_ids.reshape(-1)
+                owners = np.repeat(np.arange(n, dtype=np.int32), C)
+                keep = flat != INVALID_ID
+                tbl = SortedIdTable.build(
+                    flat[keep], owners=owners[keep], priority=owners[keep]
+                )
+                rep = NamedSharding(mesh, P())
+                self.union_sorted = jax.device_put(
+                    np.asarray(tbl.sorted_ids), rep
+                )
+                self.union_owner = jax.device_put(np.asarray(tbl.owners), rep)
 
     @property
     def feature_dim(self) -> int:
@@ -337,12 +363,19 @@ class ShardedFeatureStore:
         """Array args to pass through shard_map, matched by shard_specs()."""
         if self.hot_sorted is None:
             return (self.features,)
+        if self.union_sorted is not None:
+            return (
+                self.features, self.hot_sorted, self.hot_rows,
+                self.union_sorted, self.union_owner,
+            )
         return (self.features, self.hot_sorted, self.hot_rows)
 
     def shard_specs(self):
         ax = self.axis_name
         if self.hot_sorted is None:
             return (P(ax, None),)
+        if self.union_sorted is not None:
+            return (P(ax, None), P(ax, None), P(ax, None, None), P(None), P(None))
         return (P(ax, None), P(ax, None), P(ax, None, None))
 
     def _exchange(self, local_shard, ids, mask, budget):
@@ -367,7 +400,13 @@ class ShardedFeatureStore:
         if self.hot_sorted is None:
             (local_shard,) = shard_args
             return self._exchange(local_shard, ids, mask, budget)
-        local_shard, hot_sorted, hot_rows = shard_args
+        if self.union_sorted is not None:
+            local_shard, hot_sorted, hot_rows, union_sorted, union_owner = (
+                shard_args
+            )
+        else:
+            local_shard, hot_sorted, hot_rows = shard_args
+            union_sorted = union_owner = None
         hot_sorted = hot_sorted.reshape(-1)
         hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
         # hot probe: sorted binary search, local-HBM gather on hit
@@ -375,10 +414,53 @@ class ShardedFeatureStore:
         pos_c = jnp.clip(pos, 0, hot_sorted.shape[0] - 1)
         hit = mask & (hot_sorted[pos_c] == ids)
         hot_out = jnp.where(hit[:, None], hot_rows[pos_c], 0)
-        # miss tier: all-to-all to the base shards
         miss_mask = mask & ~hit
+        peer_out = None
+        if union_sorted is not None:
+            peer_out, peer_served = self._peer_hot_fetch(
+                hot_sorted, hot_rows, union_sorted, union_owner,
+                ids, miss_mask, budget,
+            )
+            miss_mask = miss_mask & ~peer_served
+        # miss tier: all-to-all to the base shards
         cold_out, overflow = self._exchange(local_shard, ids, miss_mask, budget)
+        if peer_out is not None:
+            cold_out = jnp.where(peer_served[:, None], peer_out, cold_out)
         return jnp.where(hit[:, None], hot_out, cold_out), overflow
+
+    def _peer_hot_fetch(
+        self, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask, budget
+    ):
+        """Serve locally-missed ids from the hot tier of the PEER that
+        caches them (the reference's NVLink tier — a remote-cached row is
+        fetched from the peer's cache, not the slow base:
+        ``src/cache/tensor_p2p_cache.h:21-23``).  Requests route by the
+        union owner table; each peer probes its own hot tier to serve.
+        Budget-overflowed requests fall through to the base exchange
+        (lossless), so this tier only ever *removes* base traffic.
+
+        Returns ([L, F] rows, served_mask [L])."""
+        n = jax.lax.axis_size(self.axis_name)
+        U = union_sorted.shape[0]
+        upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
+        hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
+        owner = jnp.where(hot_somewhere, union_owner[upos], n)
+        Pb = budget if budget is not None else request_budget(ids.shape[0], n)
+        plan, recv, _ = make_request(
+            ids, hot_somewhere, self.axis_name, self.shard_size, Pb,
+            owners=owner,
+        )
+        # serve received requests from MY hot tier
+        rflat = recv.reshape(-1)
+        C = hot_sorted.shape[0]
+        spos = jnp.clip(jnp.searchsorted(hot_sorted, rflat), 0, max(C - 1, 0))
+        shit = (rflat != INVALID_ID) & (hot_sorted[spos] == rflat)
+        rows = jnp.where(shit[:, None], hot_rows[spos], 0).reshape(
+            recv.shape[0], recv.shape[1], -1
+        )
+        out = return_response(plan, rows, self.axis_name)
+        served = hot_somewhere & plan.in_budget
+        return out, served
 
     def hot_hit_rate(self, ids: np.ndarray, chip: int = 0) -> float:
         """Diagnostic: fraction of ids served by chip's hot tier."""

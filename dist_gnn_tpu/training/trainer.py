@@ -50,12 +50,25 @@ class Trainer:
     dedup_last: bool = True  # False = no-dedup final hop (faster, same math)
     sampler_window: Any = None  # windowed-gather fast path (ops/sampling.py)
     sampler_big_budget: Any = None
+    # Multi-row Pallas feature gather: G row-DMAs per grid step break the
+    # dispatch-bound ceiling of XLA's row gather (91M -> 500M rows/s at
+    # G=16 on v5e, scripts/bench_gather.py). Needs feature_dim % 128 == 0
+    # (pad the store); 0 = XLA take (CPU/test default).
+    gather_group: int = 0
 
     def __post_init__(self):
         self.optimizer = optax.chain(
             optax.add_decayed_weights(self.weight_decay),
             optax.adam(self.lr),
         )
+
+    def _gather_rows(self, features: jnp.ndarray, safe_ids: jnp.ndarray):
+        """Feature row gather: multi-row Pallas kernel when enabled."""
+        if self.gather_group > 1 and features.shape[1] % 128 == 0:
+            from dist_gnn_tpu.ops.gather_pallas import gather_rows
+
+            return gather_rows(features, safe_ids, group=self.gather_group)
+        return features[safe_ids]
 
     def init_state(self, key: jax.Array) -> TrainState:
         params = self.model.init(key)
@@ -104,7 +117,7 @@ class Trainer:
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
         safe = jnp.where(in_mask, input_nodes, 0)
-        feats = jnp.where(in_mask[:, None], features[safe], 0)
+        feats = jnp.where(in_mask[:, None], self._gather_rows(features, safe), 0)
         batch_labels = jnp.where(seed_mask, labels[jnp.where(seed_mask, seeds, 0)], 0)
 
         (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
@@ -141,7 +154,7 @@ class Trainer:
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
         safe = jnp.where(in_mask, input_nodes, 0)
-        feats = jnp.where(in_mask[:, None], features[safe], 0)
+        feats = jnp.where(in_mask[:, None], self._gather_rows(features, safe), 0)
         logits = self.model.apply(
             params, tuple(reversed(blocks)), feats, train=False,
             contiguous_first=not self.dedup_last,

@@ -18,6 +18,22 @@ def test_pallas_gather_rows_matches_take():
     np.testing.assert_allclose(np.asarray(out), np.asarray(table[idx]))
 
 
+def test_pallas_gather_rows_multi_matches_take():
+    """Grouped gather (G row DMAs per grid step), incl. the non-multiple
+    tail-padding path and duplicate ids."""
+    rng = np.random.default_rng(3)
+    N, F = 96, 256
+    table = jnp.asarray(rng.standard_normal((N, F)), jnp.bfloat16)
+    for L in (40, 64, 7):
+        idx = jnp.asarray(rng.integers(0, N, L), jnp.int32)
+        for g in (2, 4, 16):
+            out = gather_rows(table, idx, group=g)
+            assert out.shape == (L, F)
+            np.testing.assert_array_equal(
+                np.asarray(out, np.float32), np.asarray(table[idx], np.float32)
+            )
+
+
 def test_pallas_gather_mean_matches_jnp():
     rng = np.random.default_rng(1)
     cap, F, S, k = 50, 128, 12, 5
