@@ -160,13 +160,24 @@ def replicate_graph(
     return np.asarray(g.indptr), np.asarray(g.indices)
 
 
-def process_ogb(ogb_root: str, name: str, out_root: str, with_probs: bool = False):
+def process_ogb(
+    ogb_root: str,
+    name: str,
+    out_root: str,
+    with_probs: bool = False,
+    dataset=None,
+):
     """OGB → our layout.  Requires a pre-downloaded OGB dataset (no egress
     here); products is symmetrized, papers100M is not
-    (``dataset_preprocess.py:37-45,117-127``)."""
-    from ogb.nodeproppred import NodePropPredDataset  # optional dep
+    (``dataset_preprocess.py:37-45,117-127``).
 
-    dataset = NodePropPredDataset(name=name, root=ogb_root)
+    ``dataset`` injects a ``NodePropPredDataset``-shaped object
+    (``dataset[0] -> (graph_dict, labels)``, ``get_idx_split()``) so the
+    pipeline is testable without an OGB download (tests/test_dataset.py)."""
+    if dataset is None:
+        from ogb.nodeproppred import NodePropPredDataset  # optional dep
+
+        dataset = NodePropPredDataset(name=name, root=ogb_root)
     graph_raw, labels = dataset[0]
     split = dataset.get_idx_split()
     src, dst = graph_raw["edge_index"]

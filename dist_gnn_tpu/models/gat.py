@@ -60,6 +60,25 @@ class GAT:
             }
         return params
 
+    def _project(self, p, h, d_out: int):
+        """Shared SDDMM prologue: (z [S, H, d], el [S, H], er [S, H]) —
+        used by block training and full-graph inference."""
+        cd = self.compute_dtype
+        w = p["w"] if cd is None else p["w"].astype(cd)
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
+        z = z.reshape(z.shape[0], self.num_heads, d_out)
+        el = jnp.einsum("shd,hd->sh", z, p["a_l"].astype(z.dtype))
+        er = jnp.einsum("shd,hd->sh", z, p["a_r"].astype(z.dtype))
+        return z, el, er
+
+    def _combine(self, p, out, d_out: int, last: bool):
+        """Head combine + bias (+ activation on hidden layers)."""
+        H = self.num_heads
+        if last:
+            return jnp.mean(out, axis=1) + p["b"].reshape(H, d_out).mean(0)
+        h = out.reshape(out.shape[0], H * d_out) + p["b"]
+        return jax.nn.elu(h)
+
     def apply(
         self,
         params: Dict[str, Any],
@@ -76,13 +95,9 @@ class GAT:
         for l, block in enumerate(blocks):
             d_in, d_out, last = self.dims[l]
             p = params[f"layer{l}"]
-            w = p["w"] if cd is None else p["w"].astype(cd)
-            z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
-            z = z.reshape(z.shape[0], H, d_out)  # [cap_src, H, d_out]
-            z_dst = z[: block.num_dst]
             # SDDMM: per-edge unnormalised scores on the sampled block
-            el = jnp.einsum("shd,hd->sh", z_dst, p["a_l"])  # [S, H]
-            er = jnp.einsum("shd,hd->sh", z, p["a_r"])  # [cap_src, H]
+            z, el_all, er = self._project(p, h, d_out)
+            el = el_all[: block.num_dst]  # [S, H]
             S_, k_ = block.neigh_mask.shape
             if l == 0 and contiguous_first:
                 er_n = er[block.num_dst :].reshape(S_, k_, H)
@@ -97,15 +112,11 @@ class GAT:
             else:
                 z_n = z[block.neigh_slots]  # [S, k, H, d_out]
             out = jnp.sum(z_n * alpha[..., None], axis=1)  # [S, H, d_out]
-            if last:
-                h = jnp.mean(out, axis=1) + p["b"].reshape(H, d_out).mean(0)
-            else:
-                h = out.reshape(out.shape[0], H * d_out) + p["b"]
-                h = jax.nn.elu(h)
-                if train and self.dropout > 0:
-                    assert rng is not None
-                    rng, sub = jax.random.split(rng)
-                    keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
-                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+            h = self._combine(p, out, d_out, last)
+            if not last and train and self.dropout > 0:
+                assert rng is not None
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
+                h = jnp.where(keep, h / (1 - self.dropout), 0)
             h = h.astype(x.dtype)
         return h

@@ -53,6 +53,65 @@ def _mean_aggregate_span(
     return acc / jnp.maximum(deg, 1)[:, None]
 
 
+@partial(jax.jit, static_argnames=("num_dst", "edge_chunk", "negative_slope"))
+def _gat_aggregate_span(
+    indptr, indices, z, el, er, dst_lo, num_dst: int, edge_lo, edge_hi,
+    edge_chunk: int, negative_slope: float,
+):
+    """Attention aggregation for dst rows [dst_lo, dst_lo+num_dst): softmax
+    over each row's FULL in-neighborhood, streamed over edge chunks with an
+    online (flash-style) renormalisation so no [deg]-sized state exists.
+
+    z [N, H, d] projected features, el/er [N, H] SDDMM halves.
+    Returns [num_dst, H, d]."""
+    N, H, d = z.shape
+    nnz = indices.shape[0]
+    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
+    el_dst = jax.lax.dynamic_slice(el, (dst_lo, 0), (num_dst, H))
+    neg = jnp.float32(-1e30)
+
+    def body(c, carry):
+        m, s, acc = carry  # [num,H], [num,H], [num,H,d]
+        base = edge_lo + c * edge_chunk
+        off = base + jnp.arange(edge_chunk, dtype=local_ptr.dtype)
+        valid = off < edge_hi
+        off_c = jnp.clip(off, 0, nnz - 1)
+        src = jnp.where(valid, indices[off_c], 0)
+        rows = jnp.clip(
+            (jnp.searchsorted(local_ptr, off_c, side="right") - 1).astype(
+                jnp.int32
+            ),
+            0,
+            num_dst - 1,
+        )
+        score = jax.nn.leaky_relu(
+            (el_dst[rows] + er[src]).astype(jnp.float32), negative_slope
+        )  # [E, H]
+        score = jnp.where(valid[:, None], score, neg)
+        m_c = jax.ops.segment_max(score, rows, num_segments=num_dst)
+        m_new = jnp.maximum(m, m_c)
+        # rescale old accumulators; exp(neg - neg) -> exp(0)=1 is harmless
+        # because s/acc are 0 whenever m is still neg
+        scale = jnp.exp(m - m_new)
+        w = jnp.where(valid[:, None], jnp.exp(score - m_new[rows]), 0.0)
+        s = s * scale + jax.ops.segment_sum(w, rows, num_segments=num_dst)
+        contrib = jax.ops.segment_sum(
+            w[:, :, None] * z[src].astype(jnp.float32),
+            rows,
+            num_segments=num_dst,
+        )
+        acc = acc * scale[..., None] + contrib
+        return m_new, s, acc
+
+    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
+    m0 = jnp.full((num_dst, H), neg, jnp.float32)
+    s0 = jnp.zeros((num_dst, H), jnp.float32)
+    a0 = jnp.zeros((num_dst, H, d), jnp.float32)
+    _, s, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, s0, a0))
+    out = acc / jnp.maximum(s, 1e-12)[..., None]
+    return out.astype(z.dtype)
+
+
 def full_graph_inference(
     model,
     params,
@@ -74,23 +133,33 @@ def full_graph_inference(
     indptr_np = np.asarray(hg.indptr)
     h = features
 
-    assert hasattr(model, "_layer_forward"), (
-        "full_graph_inference currently supports mean-aggregation models "
-        "(SAGE); GAT eval uses sampled eval_step with large fanout"
+    is_gat = hasattr(model, "_project")
+    assert is_gat or hasattr(model, "_layer_forward"), (
+        "full_graph_inference supports SAGE (mean) and GAT (attention)"
     )
     for l in range(len(model.dims)):
         p = params[f"layer{l}"]
+        if is_gat:
+            d_out, last = model.dims[l][1], model.dims[l][2]
+            z, el, er = model._project(p, h, d_out)
         outs = []
         for lo in range(0, N, node_chunk):
             num = min(node_chunk, N - lo)
             e_lo = int(indptr_np[lo])
             e_hi = int(indptr_np[lo + num])
-            h_mean = _mean_aggregate_span(
-                indptr, indices, h, lo, num, e_lo, e_hi, edge_chunk
-            )
-            out = model._layer_forward(p, h[lo : lo + num], h_mean)
+            if is_gat:
+                agg = _gat_aggregate_span(
+                    indptr, indices, z, el, er, lo, num, e_lo, e_hi,
+                    edge_chunk, model.negative_slope,
+                )
+                out = model._combine(p, agg, d_out, last)
+            else:
+                h_mean = _mean_aggregate_span(
+                    indptr, indices, h, lo, num, e_lo, e_hi, edge_chunk
+                )
+                out = model._layer_forward(p, h[lo : lo + num], h_mean)
             outs.append(out)
         h = jnp.concatenate(outs, axis=0)
-        if l != len(model.dims) - 1:
+        if not is_gat and l != len(model.dims) - 1:
             h = jax.nn.relu(h)
     return h

@@ -47,7 +47,7 @@ def parse_args():
     ap.add_argument("--resume", default=None, help="load path prefix")
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
     ap.add_argument("--full-eval", action="store_true",
-                    help="final full-graph layer-wise inference accuracy (SAGE)")
+                    help="final full-graph layer-wise inference accuracy (SAGE or GAT)")
     ap.add_argument("--profile", action="store_true",
                     help="report Sampling/Loading/Training ms per iter "
                          "(reference-format phase split, slope-timed)")
@@ -258,7 +258,7 @@ def main():
             iteration_ms=t_full * 1e3,
         )
 
-    if args.full_eval and args.model == "sage" and not args.dist:
+    if args.full_eval and not args.dist:
         from dist_gnn_tpu.models.inference import full_graph_inference
 
         logits = full_graph_inference(

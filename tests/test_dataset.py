@@ -1,6 +1,7 @@
 """Dataset layout save/load + papers400M-style replication."""
 
 import numpy as np
+import pytest
 
 from dist_gnn_tpu.dataloading.preprocess import (
     load_dataset,
@@ -45,3 +46,81 @@ def test_replicate_graph_structure():
     same_copy = (rows // n) == (indices // n)
     assert same_copy.mean() > 0.7
     assert (~same_copy).sum() > 0  # some cross-copy links exist
+
+
+class _StubOGB:
+    """NodePropPredDataset-shaped stub (``dataset[0]``, ``get_idx_split``)
+    with the quirks the real thing has: float labels with NaN rows
+    (papers100M), int64 splits, directed edge_index."""
+
+    def __init__(self, n=60, e=400, seed=0):
+        rng = np.random.default_rng(seed)
+        self.src = rng.integers(0, n, e).astype(np.int64)
+        self.dst = rng.integers(0, n, e).astype(np.int64)
+        self.n = n
+        feat = rng.standard_normal((n, 12)).astype(np.float32)
+        lab = rng.integers(0, 5, n).astype(np.float64)
+        lab[::7] = np.nan  # unlabeled rows, like papers100M
+        self.labels = lab.reshape(-1, 1)
+        self.feat = feat
+        perm = rng.permutation(n)
+        self.split = {
+            "train": perm[:30].astype(np.int64),
+            "valid": perm[30:40].astype(np.int64),
+            "test": perm[40:].astype(np.int64),
+        }
+
+    def __getitem__(self, i):
+        assert i == 0
+        graph = {
+            "edge_index": np.stack([self.src, self.dst]),
+            "num_nodes": self.n,
+            "node_feat": self.feat,
+        }
+        return graph, self.labels
+
+    def get_idx_split(self):
+        return self.split
+
+
+@pytest.mark.parametrize("name", ["ogbn-products", "ogbn-papers100M"])
+def test_process_ogb_with_stub(tmp_path, name):
+    """process_ogb end-to-end against a stubbed NodePropPredDataset:
+    CSC = in-neighbors (dst-as-row), products symmetrized / papers not
+    (dataset_preprocess.py:37-45,117-127), NaN labels zeroed, roundtrip."""
+    from dist_gnn_tpu.dataloading.preprocess import load_dataset, process_ogb
+
+    stub = _StubOGB()
+    arrays, meta = process_ogb(
+        "/nonexistent", name, str(tmp_path), dataset=stub
+    )
+    n = stub.n
+    assert meta["num_nodes"] == n and meta["feature_dim"] == 12
+
+    # oracle CSC: row = destination, entries = in-neighbors
+    src, dst = stub.src.copy(), stub.dst.copy()
+    if name == "ogbn-products":
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    indptr, indices = arrays["indptr"], arrays["indices"]
+    assert meta["num_edges"] == len(src)
+    deg_oracle = np.bincount(dst, minlength=n)
+    np.testing.assert_array_equal(np.diff(indptr), deg_oracle)
+    for row in range(0, n, 11):
+        got = np.sort(indices[indptr[row] : indptr[row + 1]])
+        want = np.sort(src[dst == row])
+        np.testing.assert_array_equal(got, want)
+
+    # labels: NaN -> 0, int32
+    assert arrays["labels"].dtype == np.int32
+    np.testing.assert_array_equal(
+        arrays["labels"], np.nan_to_num(stub.labels.reshape(-1)).astype(np.int32)
+    )
+    np.testing.assert_array_equal(arrays["train_idx"], stub.split["train"])
+
+    # saved layout loads back and feeds training containers
+    arrays2, meta2 = load_dataset(str(tmp_path), name)
+    np.testing.assert_array_equal(arrays2["indices"], indices)
+    assert meta2 == meta
+    hg = HostGraph(indptr=np.asarray(arrays2["indptr"]),
+                   indices=np.asarray(arrays2["indices"]))
+    assert hg.num_edges == meta["num_edges"]
