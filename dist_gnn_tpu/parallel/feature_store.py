@@ -238,6 +238,39 @@ def exchange_gather_hier(
     return out, ovf1 + ovf2
 
 
+def peer_hot_fetch(
+    axis_name, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask,
+    budget: int,
+):
+    """Serve ids from the hot tier of the PEER that caches them (the
+    reference's NVLink tier — a remote-cached row is fetched from the
+    peer's cache, not the slow base: ``src/cache/tensor_p2p_cache.h:21-23``).
+    Requests route by the replicated union owner table; each peer probes
+    its own hot tier to serve.  Budget-overflowed requests are NOT served
+    (``served_mask`` False) — callers route them to their base tier.
+
+    Returns ([L, F] rows, served_mask [L]).  Call inside shard_map."""
+    n = jax.lax.axis_size(axis_name)
+    U = union_sorted.shape[0]
+    upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
+    hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
+    owner = jnp.where(hot_somewhere, union_owner[upos], n)
+    plan, recv, _ = make_request(
+        ids, hot_somewhere, axis_name, 1, budget, owners=owner
+    )
+    # serve received requests from MY hot tier
+    rflat = recv.reshape(-1)
+    C = hot_sorted.shape[0]
+    spos = jnp.clip(jnp.searchsorted(hot_sorted, rflat), 0, max(C - 1, 0))
+    shit = (rflat != INVALID_ID) & (hot_sorted[spos] == rflat)
+    rows = jnp.where(shit[:, None], hot_rows[spos], 0).reshape(
+        recv.shape[0], recv.shape[1], -1
+    )
+    out = return_response(plan, rows, axis_name)
+    served = hot_somewhere & plan.in_budget
+    return out, served
+
+
 class ShardedFeatureStore:
     """Feature matrix row-sharded over a mesh axis, fetched via
     :func:`exchange_gather`, with an optional heat-driven **hot tier**:
@@ -431,36 +464,15 @@ class ShardedFeatureStore:
     def _peer_hot_fetch(
         self, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask, budget
     ):
-        """Serve locally-missed ids from the hot tier of the PEER that
-        caches them (the reference's NVLink tier — a remote-cached row is
-        fetched from the peer's cache, not the slow base:
-        ``src/cache/tensor_p2p_cache.h:21-23``).  Requests route by the
-        union owner table; each peer probes its own hot tier to serve.
-        Budget-overflowed requests fall through to the base exchange
-        (lossless), so this tier only ever *removes* base traffic.
-
-        Returns ([L, F] rows, served_mask [L])."""
-        n = jax.lax.axis_size(self.axis_name)
-        U = union_sorted.shape[0]
-        upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
-        hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
-        owner = jnp.where(hot_somewhere, union_owner[upos], n)
-        Pb = budget if budget is not None else request_budget(ids.shape[0], n)
-        plan, recv, _ = make_request(
-            ids, hot_somewhere, self.axis_name, self.shard_size, Pb,
-            owners=owner,
+        Pb = (
+            budget
+            if budget is not None
+            else request_budget(ids.shape[0], jax.lax.axis_size(self.axis_name))
         )
-        # serve received requests from MY hot tier
-        rflat = recv.reshape(-1)
-        C = hot_sorted.shape[0]
-        spos = jnp.clip(jnp.searchsorted(hot_sorted, rflat), 0, max(C - 1, 0))
-        shit = (rflat != INVALID_ID) & (hot_sorted[spos] == rflat)
-        rows = jnp.where(shit[:, None], hot_rows[spos], 0).reshape(
-            recv.shape[0], recv.shape[1], -1
+        return peer_hot_fetch(
+            self.axis_name, hot_sorted, hot_rows, union_sorted, union_owner,
+            ids, mask, Pb,
         )
-        out = return_response(plan, rows, self.axis_name)
-        served = hot_somewhere & plan.in_budget
-        return out, served
 
     def hot_hit_rate(self, ids: np.ndarray, chip: int = 0) -> float:
         """Diagnostic: fraction of ids served by chip's hot tier."""

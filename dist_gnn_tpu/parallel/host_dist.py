@@ -1,0 +1,442 @@
+"""Distributed training over a HOST-RESIDENT feature base.
+
+This composes the framework's two big capabilities into the reference's
+full three-tier data plane (``src/feature/cuda/feature_ops.cu:38-73``:
+local HBM / peer HBM over NVLink / pinned host over UVA), TPU-style:
+
+  tier 1  local hot rows      — HBM gather inside the fused step
+  tier 2  peer hot rows       — owner-routed all-to-all over ICI, served
+                                from the owning chip's hot tier
+                                (feature_store.peer_hot_fetch)
+  tier 3  host base           — the full matrix stays in host RAM; each
+                                batch's residual miss set is gathered
+                                host-side and shipped with an async
+                                device_put under the previous batch's
+                                compute (double-buffered pipeline)
+
+Under a *selfless* cache plan (disjoint per-chip partitions,
+cache/policy.py) the union hot coverage is ``n_chips *`` capacity, so tier
+3 traffic shrinks by the chip count vs the selfish plan — this is what
+makes the selfless policy's score real on TPU (VERDICT #5); the test
+suite asserts selfless stages strictly fewer host rows than selfish at
+equal capacity.
+
+The step is split into two jitted shard_maps with host staging between
+them (the TPU version of the reference's UVA latency hiding):
+
+    sample(i+1) [shard_map]  →  readback frontier(i+1)
+    queue compute(i) [shard_map: assemble 3 tiers + fwd/bwd + psum + Adam]
+    stage misses(i+1) [host gather + async H2D]   ← rides under compute(i)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dist_gnn_tpu.graph import INVALID_ID, Graph
+from dist_gnn_tpu.ops.hashtable import SortedIdTable
+from dist_gnn_tpu.parallel.feature_store import peer_hot_fetch, request_budget
+from dist_gnn_tpu.sampler import sample_blocks
+from dist_gnn_tpu.training.trainer import TrainState
+
+
+class DistStaged(NamedTuple):
+    """One batch's host-staged miss rows, sharded over the mesh axis."""
+
+    rows: jnp.ndarray  # [n, R, F] feature rows (zero padded)
+    slots: jnp.ndarray  # [n, R] per-chip frontier positions; pad = L
+    count: int  # host-side: total staged rows (all chips)
+    overflow: int  # host-side: misses beyond the per-chip budget
+
+
+class DistHostFeatureStore:
+    """Per-chip HBM hot tiers + replicated union routing + host base.
+
+    ``hot_ids`` is the [n, C] cache plan (selfish or selfless,
+    cache/builder.py).  The base matrix is NEVER uploaded wholesale —
+    on a real multi-host deployment every host process holds (its shard
+    of) the base in RAM; this single-process emulation holds one copy.
+    """
+
+    def __init__(
+        self,
+        host_features: np.ndarray,
+        mesh,
+        hot_ids: np.ndarray,
+        miss_budget: int,
+        axis_name: str = "data",
+        hot_dtype=None,
+        budget_slack: float = 2.0,
+    ):
+        n = mesh.shape[axis_name]
+        assert hot_ids.shape[0] == n
+        self.base = host_features  # host RAM (numpy or np.memmap)
+        self.mesh, self.axis_name = mesh, axis_name
+        self.num_shards = n
+        self.num_rows, F = host_features.shape
+        self.out_dim = F
+        self.miss_budget = int(miss_budget)
+        self.budget_slack = budget_slack
+
+        C = hot_ids.shape[1]
+        sorted_ids = np.sort(
+            np.where(hot_ids == INVALID_ID, np.iinfo(np.int32).max, hot_ids),
+            axis=1,
+        ).astype(np.int32)
+        self.hot_sorted_np = sorted_ids  # host mirror for stage()
+        safe = np.clip(sorted_ids, 0, self.num_rows - 1)
+        rows = np.asarray(host_features)[safe.reshape(-1)].reshape(n, C, F)
+        rows[sorted_ids == INVALID_ID] = 0
+        if hot_dtype is not None:
+            rows = rows.astype(hot_dtype)
+        self.hot_sorted = jax.device_put(
+            sorted_ids, NamedSharding(mesh, P(axis_name, None))
+        )
+        self.hot_rows = jax.device_put(
+            rows, NamedSharding(mesh, P(axis_name, None, None))
+        )
+        flat = hot_ids.reshape(-1)
+        owners = np.repeat(np.arange(n, dtype=np.int32), C)
+        keep = flat != INVALID_ID
+        tbl = SortedIdTable.build(
+            flat[keep], owners=owners[keep], priority=owners[keep]
+        )
+        self.union_sorted_np = np.asarray(tbl.sorted_ids)
+        self.union_owner_np = np.asarray(tbl.owners)
+        rep = NamedSharding(mesh, P())
+        self.union_sorted = jax.device_put(self.union_sorted_np, rep)
+        self.union_owner = jax.device_put(self.union_owner_np, rep)
+        self.hot_dtype = rows.dtype
+
+    # ---- host side ---------------------------------------------------------
+
+    def stage(self, frontier_np: np.ndarray, fmask_np: np.ndarray) -> DistStaged:
+        """Gather each chip's residual misses (not hot ANYWHERE) from the
+        host base; start the async H2D.  frontier_np/fmask_np: [n, L]."""
+        n, L = frontier_np.shape
+        R = self.miss_budget
+        F = self.base.shape[1]
+        rows = np.zeros((n, R, F), self.base.dtype)
+        slots = np.full((n, R), L, np.int32)
+        count = overflow = 0
+        us = self.union_sorted_np
+        for c in range(n):
+            ids, m = frontier_np[c], fmask_np[c]
+            if len(us):
+                pos = np.clip(np.searchsorted(us, ids), 0, len(us) - 1)
+                any_hot = m & (us[pos] == ids)
+            else:
+                any_hot = np.zeros(L, bool)
+            miss_idx = np.flatnonzero(m & ~any_hot)
+            overflow += max(0, len(miss_idx) - R)
+            miss_idx = miss_idx[:R]
+            k = len(miss_idx)
+            count += k
+            if k:
+                rows[c, :k] = self.base[ids[miss_idx]]
+                slots[c, :k] = miss_idx
+        ax = self.axis_name
+        return DistStaged(
+            rows=jax.device_put(
+                rows.astype(self.hot_dtype),
+                NamedSharding(self.mesh, P(ax, None, None)),
+            ),
+            slots=jax.device_put(slots, NamedSharding(self.mesh, P(ax, None))),
+            count=count,
+            overflow=overflow,
+        )
+
+    def union_hit_rate(self, ids: np.ndarray) -> float:
+        us = self.union_sorted_np
+        if len(us) == 0:
+            return 0.0
+        pos = np.clip(np.searchsorted(us, ids), 0, len(us) - 1)
+        return float(np.mean(us[pos] == ids))
+
+    # ---- device side (inside shard_map) --------------------------------------
+
+    def shard_args(self):
+        return (self.hot_sorted, self.hot_rows, self.union_sorted, self.union_owner)
+
+    def shard_specs(self):
+        ax = self.axis_name
+        return (P(ax, None), P(ax, None, None), P(None), P(None))
+
+    def assemble_local(
+        self, shard_args, ids, mask, staged_rows, staged_slots, budget: int
+    ):
+        """Three-tier assembly for this chip's frontier (call inside
+        shard_map): local hot gather + peer-hot all-to-all + staged-miss
+        scatter.  Returns ([L, F] rows, peer_dropped count — requests the
+        peer-hot budget dropped, served as zeros and surfaced in metrics).
+        """
+        hot_sorted, hot_rows, union_sorted, union_owner = shard_args
+        hot_sorted = hot_sorted.reshape(-1)
+        hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
+        staged_rows = staged_rows.reshape(
+            staged_rows.shape[-2], staged_rows.shape[-1]
+        )
+        staged_slots = staged_slots.reshape(-1)
+
+        C = hot_sorted.shape[0]
+        pos = jnp.clip(jnp.searchsorted(hot_sorted, ids), 0, max(C - 1, 0))
+        local_hit = mask & (C > 0) & (hot_sorted[pos] == ids)
+        out = jnp.where(local_hit[:, None], hot_rows[pos], 0)
+
+        peer_rows, peer_served = peer_hot_fetch(
+            self.axis_name, hot_sorted, hot_rows, union_sorted, union_owner,
+            ids, mask & ~local_hit, budget,
+        )
+        out = jnp.where(peer_served[:, None], peer_rows, out)
+
+        # anything hot-somewhere but beyond the peer budget is DROPPED (and
+        # counted) — the host staging only covered not-hot-anywhere rows
+        U = union_sorted.shape[0]
+        upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
+        hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
+        peer_dropped = jnp.sum(
+            (hot_somewhere & ~local_hit & ~peer_served).astype(jnp.int32)
+        )
+        out = out.at[staged_slots].set(
+            staged_rows.astype(out.dtype), mode="drop"
+        )
+        return out, peer_dropped
+
+
+@dataclasses.dataclass(eq=False)
+class DistHostTrainer:
+    """Distributed trainer over the host-base store: split-phase jitted
+    shard_maps with double-buffered host staging (see module docstring).
+    Structure is device-resident (replicated Graph) — the host-resident
+    structure path is single-chip for now (host_tier.HostCSCStore)."""
+
+    model: Any
+    fan_out: Tuple[int, ...]
+    store: DistHostFeatureStore
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    replace: bool = False
+    relabel_mode: str = "auto"
+    dedup_last: bool = True
+    sampler_window: Optional[int] = None
+    sampler_big_budget: Optional[int] = None
+    peer_budget_slack: float = 4.0
+
+    def __post_init__(self):
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.adam(self.lr),
+        )
+        self.mesh = self.store.mesh
+        self.axis_name = self.store.axis_name
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        params = self.model.init(key)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- phase 1: sampling (one shard_map) -----------------------------------
+
+    def _blocks_to_arrays(self, blocks):
+        """Block pytree → plain dicts (num_frontier as [1]) so the sampled
+        result crosses the shard_map/jit boundary with uniform leading-axis
+        sharding."""
+        return tuple(
+            dict(
+                seeds=b.seeds, seed_mask=b.seed_mask, frontier=b.frontier,
+                frontier_mask=b.frontier_mask,
+                num_frontier=jnp.reshape(b.num_frontier, (1,)),
+                neigh_slots=b.neigh_slots, neigh_mask=b.neigh_mask,
+            )
+            for b in blocks
+        )
+
+    @staticmethod
+    def _arrays_to_blocks(arrs):
+        from dist_gnn_tpu.sampler import Block
+
+        return tuple(
+            Block(
+                seeds=a["seeds"], seed_mask=a["seed_mask"],
+                frontier=a["frontier"], frontier_mask=a["frontier_mask"],
+                num_frontier=a["num_frontier"].reshape(()),
+                neigh_slots=a["neigh_slots"], neigh_mask=a["neigh_mask"],
+            )
+            for a in arrs
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def sample_phase(self, graph: Graph, seeds, seed_mask, key):
+        """seeds/seed_mask: [n*B] sharded over the mesh axis."""
+        ax = self.axis_name
+
+        def body(seeds_, mask_, key_):
+            k = jax.random.fold_in(key_, jax.lax.axis_index(ax))
+            blocks, stats = sample_blocks(
+                graph, seeds_, mask_, tuple(self.fan_out), self.replace, k,
+                relabel_mode=self.relabel_mode,
+                dedup_last=self.dedup_last,
+                window=self.sampler_window,
+                big_row_budget=self.sampler_big_budget,
+            )
+            arrs = self._blocks_to_arrays(blocks)
+            stats = jax.tree.map(
+                lambda v: jax.lax.psum(v, ax).reshape(1), stats
+            )
+            return arrs, stats
+
+        n_blocks = len(self.fan_out)
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P()),
+            out_specs=(
+                tuple({k: P(ax) for k in (
+                    "seeds", "seed_mask", "frontier", "frontier_mask",
+                    "num_frontier", "neigh_slots", "neigh_mask",
+                )} for _ in range(n_blocks)),
+                {"sampler_overflow": P(ax), "frontier_overflow": P(ax)},
+            ),
+            check_vma=False,
+        )(seeds, seed_mask, key)
+
+    # ---- phase 2: compute (one shard_map) -------------------------------------
+
+    def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
+        logits = self.model.apply(
+            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
+            contiguous_first=not self.dedup_last,
+        )
+        labels = jnp.where(seed_mask, labels, 0)
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(
+            ll, labels[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        nll = jnp.where(seed_mask, nll, 0.0)
+        n_local = jnp.sum(seed_mask.astype(jnp.float32))
+        n_global = jax.lax.psum(n_local, self.axis_name)
+        correct = (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels
+        ) & seed_mask
+        denom = jnp.maximum(n_global, 1.0)
+        return jnp.sum(nll) / denom, (
+            jnp.sum(correct.astype(jnp.float32)), denom
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def compute_phase(
+        self, state, block_arrs, staged_rows, staged_slots, labels_b,
+        seed_mask, key,
+    ):
+        ax = self.axis_name
+
+        def body(state, arrs, store_args, s_rows, s_slots, lab, smask, key_):
+            blocks = self._arrays_to_blocks(arrs)
+            inp = blocks[-1]
+            L = inp.frontier.shape[0]
+            budget = request_budget(
+                L, self.store.num_shards, self.peer_budget_slack
+            )
+            feats, peer_dropped = self.store.assemble_local(
+                store_args, inp.frontier, inp.frontier_mask,
+                s_rows, s_slots, budget,
+            )
+            k_drop = jax.random.fold_in(
+                jax.random.fold_in(key_, state.step), jax.lax.axis_index(ax)
+            )
+            (loss, (acc_sum, denom)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, blocks, feats, lab, smask, k_drop)
+            loss = jax.lax.psum(loss, ax)
+            acc = jax.lax.psum(acc_sum, ax) / denom
+            grads = jax.lax.psum(grads, ax)
+            peer_dropped = jax.lax.psum(peer_dropped, ax)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            return new_state, {
+                "loss": loss, "acc": acc, "peer_dropped": peer_dropped
+            }
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), state),
+                jax.tree.map(lambda _: P(ax), tuple(block_arrs)),
+                self.store.shard_specs(),
+                P(ax, None, None),
+                P(ax, None),
+                P(ax),
+                P(ax),
+                P(),
+            ),
+            out_specs=(
+                jax.tree.map(lambda _: P(), state),
+                {"loss": P(), "acc": P(), "peer_dropped": P()},
+            ),
+            check_vma=False,
+        )(
+            state, tuple(block_arrs), self.store.shard_args(),
+            staged_rows, staged_slots, labels_b, seed_mask, key,
+        )
+
+    # ---- pipeline driver -------------------------------------------------------
+
+    def train_batches(self, state, graph: Graph, labels_np, batches, key):
+        """Run batches double-buffered (stage i+1 under compute i).
+
+        ``batches``: iterable of GLOBAL (seeds_np [n*B], mask_np [n*B]).
+        Returns (state, per-batch metrics incl. host staging counters)."""
+        n = self.store.num_shards
+        pend = None
+        metrics = []
+        for i, (seeds_np, mask_np) in enumerate(batches):
+            seeds_np, mask_np = np.asarray(seeds_np), np.asarray(mask_np)
+            k_i = jax.random.fold_in(key, i)
+            block_arrs, samp_stats = self.sample_phase(
+                graph, jnp.asarray(seeds_np), jnp.asarray(mask_np), k_i
+            )
+            inp = block_arrs[-1]
+            frontier_np = np.asarray(inp["frontier"]).reshape(n, -1)
+            fmask_np = np.asarray(inp["frontier_mask"]).reshape(n, -1)
+            if pend is not None:
+                args, stats_prev = pend
+                state, m = self.compute_phase(state, *args)
+                metrics.append({**m, **stats_prev})
+            staged = self.store.stage(frontier_np, fmask_np)
+            lab = labels_np[np.where(mask_np, seeds_np, 0)].astype(np.int32)
+            host_stats = {
+                "feat_miss": staged.count,
+                "feat_overflow": staged.overflow,
+                "sampler_overflow": int(np.asarray(
+                    samp_stats["sampler_overflow"])[0]),
+            }
+            pend = (
+                (
+                    block_arrs, staged.rows, staged.slots,
+                    jnp.asarray(lab), jnp.asarray(mask_np),
+                    jax.random.fold_in(k_i, 1),
+                ),
+                host_stats,
+            )
+        if pend is not None:
+            args, stats_prev = pend
+            state, m = self.compute_phase(state, *args)
+            metrics.append({**m, **stats_prev})
+        return state, metrics

@@ -1,0 +1,200 @@
+"""Distributed host-base tier on the 8-device CPU mesh: three-tier
+assembly correctness, end-to-end learning, and the selfless-beats-selfish
+host-traffic property (VERDICT #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import HostGraph, INVALID_ID
+from dist_gnn_tpu.models import SAGE
+from dist_gnn_tpu.parallel import make_mesh
+from dist_gnn_tpu.parallel.host_dist import DistHostFeatureStore, DistHostTrainer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_three_tier_assembly_exact(mesh):
+    """assemble_local must return exact feature rows whichever tier serves
+    them (local hot / peer hot / host staged)."""
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    N, F = 512, 8
+    n = mesh.shape["data"]
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    # disjoint hot partitions covering half the graph
+    hot = rng.permutation(N)[: n * 32].reshape(n, 32).astype(np.int32)
+    store = DistHostFeatureStore(feats, mesh, hot, miss_budget=64)
+
+    L = 64
+    ids = rng.integers(0, N, (n, L)).astype(np.int32)
+    m = np.ones((n, L), bool)
+    staged = store.stage(ids, m)
+    assert staged.overflow == 0 and staged.count > 0
+
+    def body(args, ids_, m_, srows, sslots):
+        rows, dropped = store.assemble_local(args, ids_, m_, srows, sslots, L)
+        return rows, jax.lax.psum(dropped, "data")
+
+    rows, dropped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            store.shard_specs(), P("data"), P("data"),
+            P("data", None, None), P("data", None),
+        ),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )(
+        store.shard_args(), jnp.asarray(ids.reshape(-1)),
+        jnp.asarray(m.reshape(-1)), staged.rows, staged.slots,
+    )
+    assert int(dropped) == 0  # budget L is lossless
+    np.testing.assert_allclose(
+        np.asarray(rows), feats[ids.reshape(-1)], rtol=1e-6
+    )
+
+
+def test_selfless_stages_fewer_host_rows_than_selfish(mesh):
+    """At equal per-chip hot capacity, the selfless (disjoint-partition)
+    plan must produce strictly less host-base traffic than the selfish
+    (replicated) plan — the property the selfless score models
+    (cache_value.py:347-409), now real at the data plane."""
+    rng = np.random.default_rng(1)
+    N, F = 2000, 4
+    n = mesh.shape["data"]
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    C = 100
+    hottest = rng.permutation(N)  # pretend heat ordering
+    selfish = np.tile(hottest[:C], (n, 1)).astype(np.int32)  # same C rows
+    selfless = hottest[: n * C].reshape(n, C).astype(np.int32)  # disjoint
+
+    L = 256
+    ids = rng.integers(0, N, (n, L)).astype(np.int32)
+    m = np.ones((n, L), bool)
+    st_selfish = DistHostFeatureStore(feats, mesh, selfish, miss_budget=L)
+    st_selfless = DistHostFeatureStore(feats, mesh, selfless, miss_budget=L)
+    miss_selfish = st_selfish.stage(ids, m).count
+    miss_selfless = st_selfless.stage(ids, m).count
+    assert miss_selfless < miss_selfish
+    # union coverage ratio ~ n:1
+    assert st_selfless.union_hit_rate(ids.reshape(-1)) > (
+        st_selfish.union_hit_rate(ids.reshape(-1)) * 2
+    )
+
+
+def test_dist_host_trainer_learns(mesh):
+    """End-to-end: features host-resident, hot tiers + peer serving + host
+    staging, double-buffered driver; loss decreases and misses are visible
+    in metrics."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=3000, avg_degree=10, feature_dim=16, num_classes=8,
+        train_frac=0.4, seed=3,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    n = mesh.shape["data"]
+    rng = np.random.default_rng(0)
+    hot = rng.permutation(3000)[: n * 150].reshape(n, 150).astype(np.int32)
+    store = DistHostFeatureStore(
+        arrays["features"], mesh, hot, miss_budget=2048
+    )
+    model = SAGE(meta["feature_dim"], 32, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistHostTrainer(
+        model=model, fan_out=(5, 5), store=store, dedup_last=False
+    )
+    state = trainer.init_state(jax.random.key(0))
+
+    B = 32  # per chip
+    train = arrays["train_idx"]
+    batches = []
+    for i in range(12):
+        s = train[(i * n * B) % (len(train) - n * B) :][: n * B]
+        batches.append((s.astype(np.int32), np.ones(n * B, bool)))
+    state, metrics = trainer.train_batches(
+        state, graph, arrays["labels"], batches, jax.random.key(1)
+    )
+    assert len(metrics) == 12
+    losses = [float(m["loss"]) for m in metrics]
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert all(int(m["peer_dropped"]) == 0 for m in metrics)
+    assert any(m["feat_miss"] > 0 for m in metrics)
+    assert all(m["feat_overflow"] == 0 for m in metrics)
+
+
+def test_dist_host_matches_all_hbm_reference(mesh):
+    """One compute step over the host-base store must produce the same
+    loss as a single-device step on identical blocks with all features in
+    HBM (tier composition is exact, not approximate)."""
+    rng = np.random.default_rng(5)
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1500, avg_degree=8, feature_dim=8, num_classes=5,
+        train_frac=0.5, seed=4,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    n = mesh.shape["data"]
+    hot = rng.permutation(1500)[: n * 64].reshape(n, 64).astype(np.int32)
+    store = DistHostFeatureStore(arrays["features"], mesh, hot, miss_budget=1024)
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistHostTrainer(
+        model=model, fan_out=(4, 4), store=store, dedup_last=False
+    )
+    state = trainer.init_state(jax.random.key(2))
+
+    B = 16
+    seeds = arrays["train_idx"][: n * B].astype(np.int32)
+    mask = np.ones(n * B, bool)
+    block_arrs, _ = trainer.sample_phase(
+        graph, jnp.asarray(seeds), jnp.asarray(mask), jax.random.key(3)
+    )
+    inp = block_arrs[-1]
+    frontier = np.asarray(inp["frontier"]).reshape(n, -1)
+    fmask = np.asarray(inp["frontier_mask"]).reshape(n, -1)
+    staged = store.stage(frontier, fmask)
+    lab = arrays["labels"][np.where(mask, seeds, 0)].astype(np.int32)
+    _, m = trainer.compute_phase(
+        state, block_arrs, staged.rows, staged.slots,
+        jnp.asarray(lab), jnp.asarray(mask), jax.random.key(4),
+    )
+
+    # single-device reference on the same blocks with full HBM features
+    feats_full = jnp.asarray(arrays["features"])
+    total_nll = 0.0
+    total = 0
+    for c in range(n):
+        bsl = slice(c * B, (c + 1) * B)
+        chip_arrs = tuple(
+            {
+                k: jnp.asarray(
+                    np.asarray(v).reshape((n, -1) + np.asarray(v).shape[1:])[c]
+                )
+                for k, v in b.items()
+            }
+            for b in block_arrs
+        )
+        chip_blocks = trainer._arrays_to_blocks(chip_arrs)
+        inp_c = chip_blocks[-1]
+        safe = jnp.where(inp_c.frontier_mask, inp_c.frontier, 0)
+        feats = jnp.where(
+            inp_c.frontier_mask[:, None], feats_full[safe], 0
+        ).astype(jnp.float32)
+        logits = model.apply(
+            state.params, tuple(reversed(chip_blocks)), feats, train=False,
+            contiguous_first=True,
+        )
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lab_c = lab[bsl]
+        nll = -np.asarray(ll)[np.arange(B), lab_c]
+        total_nll += nll.sum()
+        total += B
+    # dropout off in _loss_fn? train=True applies dropout — model built with
+    # dropout=0.0 so train/eval paths agree
+    np.testing.assert_allclose(float(m["loss"]), total_nll / total, rtol=2e-5)
