@@ -59,12 +59,6 @@ def main():
     fan_out = (15, 10, 5)
     batch = 512
     features = features.astype(jnp.bfloat16)  # halves gather traffic
-    # pad the store to a 128 multiple so the multi-row Pallas gather is
-    # legal; the padded columns are zero, so the extra W rows get zero
-    # gradient and the math is unchanged (same logits).
-    fpad = (-features.shape[1]) % 128
-    if fpad:
-        features = jnp.pad(features, ((0, 0), (0, fpad)))
     model = SAGE(
         features.shape[1],
         256,
@@ -83,8 +77,8 @@ def main():
         sampler_window=128,
         sampler_big_budget=5120,  # covers this graph hub-row count (~3.4k
         # frontier rows exceed the window; 2048 dropped 4.7% of edges)
-        gather_group=16,  # multi-row Pallas gather: 499M rows/s vs XLA's
-        # 91M on this chip (scripts/bench_gather.py)
+        # gather_group left 0: every Pallas gather loses to XLA's take on
+        # this chip (measured — see ops/gather_pallas.py module docstring)
     )
     state = trainer.init_state(jax.random.key(0))
 
@@ -146,6 +140,68 @@ def main():
     )
 
     edges_per_s = edges_per_step * n_steps / dt
+
+    # ---- secondary metrics: biased (alias) sampling and GAT (driver
+    # configs 3/5 analogs; same methodology, fewer chain reps) -----------
+    def measure_secondary(trainer_x, graph_x, feats_x, samp_kwargs):
+        state_x = trainer_x.init_state(jax.random.key(0))
+        ctr = {"i": 0}
+
+        def one(s_):
+            s, mk = batches[ctr["i"] % len(batches)]
+            ctr["i"] += 1
+            s2, _ = trainer_x.train_step(
+                s_, graph_x, feats_x, labels, s, mk, jax.random.key(7)
+            )
+            return s2
+
+        dt_x = measure_chain(one, state_x, n_lo=3, n_hi=9, reps=2)
+        blocks_x, _ = sample_blocks(
+            graph_x, seeds, mask, fan_out, False, jax.random.key(7),
+            dedup_last=False, **samp_kwargs,
+        )
+        e_x = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks_x))
+        return e_x / dt_x
+
+    extras = {}
+    try:
+        import numpy as _np
+
+        from dist_gnn_tpu.dataloading.preprocess import add_random_probs
+        from dist_gnn_tpu.models import GAT
+
+        hg_b = HostGraph(
+            indptr=arrays["indptr"], indices=arrays["indices"],
+            probs=add_random_probs(int(meta["num_edges"])),
+        )
+        graph_b = hg_b.to_device(with_alias=True)
+        trainer_b = Trainer(
+            model=model, fan_out=fan_out, dedup_last=False, gather_group=0,
+        )
+        extras["bias_alias_edges_per_s"] = round(
+            measure_secondary(trainer_b, graph_b, features, {}), 1
+        )
+    except Exception as e:  # noqa: BLE001 — secondary metrics never break the bench
+        extras["bias_alias_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        gat = GAT(
+            features.shape[1], 128, meta["num_classes"], len(fan_out),
+            num_heads=4, compute_dtype=jnp.bfloat16,
+        )
+        trainer_g = Trainer(
+            model=gat, fan_out=fan_out, dedup_last=False,
+            sampler_window=128, sampler_big_budget=5120, gather_group=0,
+        )
+        extras["gat_edges_per_s"] = round(
+            measure_secondary(
+                trainer_g, graph, features,
+                dict(window=128, big_row_budget=5120),
+            ),
+            1,
+        )
+    except Exception as e:  # noqa: BLE001
+        extras["gat_error"] = f"{type(e).__name__}: {e}"[:200]
+
     result = {
         "metric": "graphsage_train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
@@ -158,6 +214,7 @@ def main():
             "fan_out": list(fan_out),
             "loss": float(m["loss"]),
             "device": str(jax.devices()[0]),
+            **extras,
         },
     }
     print(json.dumps(result))

@@ -18,9 +18,28 @@ Constraints honoured (see pallas_guide.md):
   * F must be a multiple of 128 (callers pad),
   * index arrays live in SMEM → calls are chunked to ``CHUNK_IDS`` ids.
 
-NOTE: explicit in-kernel ``make_async_copy`` does not compile in this
-environment (the remote-compile helper can't initialise libtpu for DMA
-kernels), so everything here uses the implicit grid pipeline instead.
+MEASURED CEILING (v5e, 540k random 256–512 B rows, honest full-consumption
+timing — see scripts/bench_gather2.py): XLA's native row gather runs at
+~92M rows/s regardless of row width (256 B bf16 or 512 B f32 — the rate is
+per-ROW, bounded by the (8,128)-tile read per row).  Every Pallas
+formulation tested loses:
+
+  * grid-pipelined (1,1,F) blocks, 1..32 in_specs per step: 25M rows/s
+    (grid-step dispatch dominates; the pipeline keeps too few row DMAs in
+    flight).  CAUTION: a scalar-consumption microbench of the chunked
+    variant gets 16/17 chunk calls dead-code-eliminated and reads 5–20x
+    too fast — always benchmark gathers with full consumption.
+  * explicit double-buffered row DMAs (``gather_rows_dma``): 62M rows/s,
+    flat in concurrency (B=32 == B=128) — scalar-core DMA ISSUE RATE
+    bound (~15 cycles/descriptor).  Also: bf16 tables cannot be row-DMA'd
+    at all (sublane packing (2,1) interleaves row pairs; Mosaic requires
+    8-row-aligned slices), so the DMA path needs an f32 copy.
+  * in-kernel vector gather from a VMEM-resident table: unsupported
+    (Mosaic ``dynamic_gather`` needs same-shape indices).
+
+Conclusion: serve feature rows with ``jnp.take`` and spend optimization
+effort on reducing the ROW COUNT (frontier budgets, hot tiers, dedup-free
+hops), not on re-implementing the gather.
 """
 
 from __future__ import annotations
@@ -45,9 +64,9 @@ def _gather_kernel(idx_ref, row_ref, o_ref):
 
 
 def _gather_multi_kernel(G, idx_ref, *refs):
-    o_ref = refs[-1]
+    o_ref = refs[-1]  # (G, F) rows block — natural [L, F] layout
     for j in range(G):
-        o_ref[0, j, :] = refs[j][0, 0, :]
+        o_ref[j, :] = refs[j][0, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("G",))
@@ -74,15 +93,19 @@ def _gather_rows_multi_chunk(table3: jnp.ndarray, idx: jnp.ndarray, G: int):
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[make_spec(j) for j in range(G)],
-        out_specs=pl.BlockSpec((1, G, F), lambda i, idx_ref: (i, 0, 0)),
+        # (G, F) row blocks of a flat [L, F] output: with G=16 and bf16
+        # this is exactly one native (16, 128) tile, so the consumer needs
+        # no relayout (a [n, G, F] output block forced a 138 MB relayout
+        # that cost ~19 ms whenever the result was consumed in full)
+        out_specs=pl.BlockSpec((G, F), lambda i, idx_ref: (i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_gather_multi_kernel, G),
-        out_shape=jax.ShapeDtypeStruct((n, G, F), table3.dtype),
+        out_shape=jax.ShapeDtypeStruct((L, F), table3.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(idx, *([table3] * G))
-    return out.reshape(L, F)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -141,6 +164,106 @@ def gather_rows(
         for i in range(0, L, CHUNK_IDS)
     ]
     return jnp.concatenate(chunks, axis=0)
+
+
+def _gather_dma_kernel(B: int, idx_ref, table_ref, o_ref, scratch, sems):
+    """Explicit-DMA row gather: B row copies per grid step, double-buffered
+    across steps so 2B DMAs are in flight while the previous block drains
+    to the output.  This is the TPU analog of the reference's per-element
+    peer/host loads inside ``_IndexP2PCacheKernel``
+    (``src/feature/cuda/feature_ops.cu:38-73``) — but batched: each row is
+    one async HBM->VMEM copy, latency hidden by concurrency, not warps."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def start(step, buf):
+        for j in range(B):
+            r = idx_ref[step * B + j]
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(r, 1)],
+                scratch.at[buf, pl.ds(j, 1)],
+                sems.at[buf, j],
+            ).start()
+
+    def wait(step, buf):
+        for j in range(B):
+            r = idx_ref[step * B + j]
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(r, 1)],
+                scratch.at[buf, pl.ds(j, 1)],
+                sems.at[buf, j],
+            ).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(i, slot)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start(i + 1, nxt)
+
+    wait(i, slot)
+    o_ref[:] = scratch[slot]
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _gather_rows_dma_call(table: jnp.ndarray, idx: jnp.ndarray, B: int):
+    L = idx.shape[0]
+    F = table.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L // B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec((B, F), lambda i, iref: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, F), table.dtype),
+            pltpu.SemaphoreType.DMA((2, B)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_dma_kernel, B),
+        out_shape=jax.ShapeDtypeStruct((L, F), table.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(idx, table)
+
+
+# ids per DMA pallas_call: the scalar-prefetched idx array lives in SMEM
+# (512 KB at 131072 int32 compiles; the full 540k does not)
+DMA_CHUNK_IDS = 131072
+
+
+def gather_rows_dma(
+    table: jnp.ndarray, idx: jnp.ndarray, rows_per_step: int = 128
+) -> jnp.ndarray:
+    """``table[idx]`` with explicit double-buffered row DMAs.
+
+    table [N, F] (F % 128 == 0), idx [L] int32 in [0, N) (pre-clipped).
+    ``rows_per_step`` * 2 DMAs are kept in flight.  NOTE: single-row DMAs
+    require an unpacked dtype (f32/int32); bf16's (2,1) sublane packing
+    interleaves row pairs, so bf16 tables must be gathered via an f32 copy.
+    """
+    N, F = table.shape
+    assert F % 128 == 0, f"pad feature dim to 128 (got {F})"
+    L = idx.shape[0]
+    B = rows_per_step
+    pad = (-L) % B
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    Lp = idx.shape[0]
+    step = DMA_CHUNK_IDS - DMA_CHUNK_IDS % B
+    if Lp <= step:
+        out = _gather_rows_dma_call(table, idx, B)
+    else:
+        out = jnp.concatenate(
+            [
+                _gather_rows_dma_call(table, idx[i : i + step], B)
+                for i in range(0, Lp, step)
+            ]
+        )
+    return out[:L] if pad else out
 
 
 def _gather_sum_kernel(k: int, slots_ref, row_ref, o_ref):

@@ -55,33 +55,19 @@ def _row_extents(graph: Graph, seeds: jnp.ndarray):
     return start, deg, valid
 
 
-def _window_fetch(
-    graph: Graph,
-    start: jnp.ndarray,  # [B] row starts (edge offsets)
-    sel: jnp.ndarray,  # [B, k] sampled positions within each row
-    mask: jnp.ndarray,  # [B, k]
-    window: int,
-    big_row_budget: Optional[int],
-):
-    """Fetch ``indices[start + sel]`` using one contiguous W-slice gather
-    per row instead of B*k element gathers.
+def _window_select(graph: Graph, start, sel, mask, W: int):
+    """One window level: ids for picks whose position falls inside the
+    2W-window at each row's start.  Returns (ids [B, k], covered [B, k]).
 
-    TPU gather throughput is bounded by *slice count* (~55M slices/s
-    measured on v5e), so a [B, W] windowed gather costs ~1/k of the
-    elementwise gather while staying byte-cheap (W*4B contiguous).  Rows
-    whose sampled position falls outside the window (deg > W picks) are
-    compacted into a static ``big_row_budget`` and served elementwise;
-    overflow beyond the budget is masked and returned as a count — never
-    silently wrong.  Exactness: identical results to the elementwise path
-    whenever the budget suffices (tested).
+    View the edge array as [ceil(nnz/W), W]; any W-window starting at an
+    arbitrary offset is covered by two adjacent rows.  2-D row gathers
+    are the fast TPU gather shape (~52M slices/s); vmap(dynamic_slice)
+    over a 1-D array lowers ~30x slower (measured 58 ms vs 1.3 ms here).
+    In-window selection is a compare+mask+reduce — NOT take_along_axis,
+    which lowers to a per-element gather (measured 5.1 ms vs 0.18 ms for
+    this fused reduction at [33792, 256] pick 15).
     """
     B, k = sel.shape
-    nnz = max(graph.num_edges - 1, 0)
-    W = window
-    # View the edge array as [ceil(nnz/W), W]; any W-window starting at an
-    # arbitrary offset is covered by two adjacent rows.  2-D row gathers
-    # are the fast TPU gather shape (~52M slices/s); vmap(dynamic_slice)
-    # over a 1-D array lowers ~30x slower (measured 58 ms vs 1.3 ms here).
     n_rows = -(-graph.num_edges // W)
     flat = graph.indices
     pad = n_rows * W - graph.num_edges
@@ -93,48 +79,121 @@ def _window_fetch(
     win = mat[pair].reshape(B, 2 * W)  # [B, 2W]
     adj = (start - (r0.astype(start.dtype) * W))[:, None] + sel  # [B, k]
     covered = mask & (adj < 2 * W)
-    # in-window selection as a compare+mask+reduce — NOT take_along_axis,
-    # which lowers to a per-element gather (measured 5.1 ms vs 0.18 ms for
-    # this fused reduction at [33792, 256] pick 15)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * W), 2)
     hitmask = w_iota == jnp.clip(adj, 0, 2 * W - 1)[:, :, None]  # [B, k, 2W]
     ids = jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2)
+    return ids, covered
+
+
+def _compact_rows(start, sel, mask, rows_flag, R: int):
+    """Compact flagged rows' (start, sel, mask) into a static budget R.
+    Returns (big_start [R], big_sel [R, k], big_mask [R, k], inv_row [R],
+    in_budget [B])."""
+    B, k = sel.shape
+    rank = jnp.cumsum(rows_flag.astype(jnp.int32)) - 1
+    in_budget = rows_flag & (rank < R)
+    slot = jnp.where(in_budget, rank, R)
+    big_start = (
+        jnp.zeros((R + 1,), start.dtype).at[slot].set(start, mode="drop")[:R]
+    )
+    big_sel = (
+        jnp.zeros((R + 1, k), sel.dtype).at[slot].set(sel, mode="drop")[:R]
+    )
+    big_mask = (
+        jnp.zeros((R + 1, k), bool).at[slot].set(mask, mode="drop")[:R]
+    )
+    inv_row = (
+        jnp.full((R + 1,), B, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(B, dtype=jnp.int32), mode="drop")[:R]
+    )
+    return big_start, big_sel, big_mask, inv_row, in_budget
+
+
+def _scatter_back(ids_sub, mask_sub, inv_row, B: int):
+    """Route a compacted level's results back to [B, k] via an R-row
+    scatter (R small) instead of a B-row gather."""
+    k = ids_sub.shape[1]
+    ids = (
+        jnp.full((B + 1, k), INVALID_ID, ids_sub.dtype)
+        .at[inv_row]
+        .set(jnp.where(mask_sub, ids_sub, INVALID_ID), mode="drop")[:B]
+    )
+    served = (
+        jnp.zeros((B + 1, k), bool).at[inv_row].set(mask_sub, mode="drop")[:B]
+    )
+    return ids, served
+
+
+def _window_fetch(
+    graph: Graph,
+    start: jnp.ndarray,  # [B] row starts (edge offsets)
+    sel: jnp.ndarray,  # [B, k] sampled positions within each row
+    mask: jnp.ndarray,  # [B, k]
+    window,  # int W, or (W1, W2) two-level cascade
+    big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
+):
+    """Fetch ``indices[start + sel]`` using contiguous window gathers
+    instead of B*k element gathers (TPU gather throughput is bounded by
+    slice count — see ops/gather_pallas.py module docstring).
+
+    Levels: picks inside the 2*W1 window are served by the [B, 2W1]
+    gather; rows with farther picks (deg >~ W1) compact into budget R1 and
+    are served by a wider 2*W2 window (hub rows are few, wide windows are
+    byte-cheap); rows beyond W2 compact into R2 and are served
+    elementwise-EXACTLY.  A single (W, R) pair keeps the old behavior:
+    level-2 rows are served elementwise.  Overflow beyond the final budget
+    is masked and returned as a count — never silently wrong.  Exactness:
+    identical results to the elementwise path whenever budgets suffice
+    (tested).
+    """
+    B, k = sel.shape
+    nnz = max(graph.num_edges - 1, 0)
+    if isinstance(window, (tuple, list)):
+        W1, W2 = window
+        assert big_row_budget is not None, "cascade windows need budgets"
+        R1, R2 = big_row_budget
+    else:
+        W1, W2 = window, None
+        R1, R2 = big_row_budget, None
+
+    ids, covered = _window_select(graph, start, sel, mask, W1)
 
     uncovered_any = jnp.any(mask & ~covered, axis=1)  # [B]
-    if big_row_budget is None:
+    if R1 is None:
         # exact fallback: full elementwise gather merged in
         pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
         ids_elem = graph.indices[pos]
         ids = jnp.where(covered, ids, ids_elem)
         return jnp.where(mask, ids, INVALID_ID), mask, jnp.int32(0)
 
-    R = big_row_budget
-    rank = jnp.cumsum(uncovered_any.astype(jnp.int32)) - 1
-    slot = jnp.where(uncovered_any & (rank < R), rank, R)
-    # compact big rows' (start, sel) into the budget
-    big_start = (
-        jnp.zeros((R + 1,), start.dtype).at[slot].set(start, mode="drop")[:R]
+    big_start, big_sel, big_mask, inv_row, _ = _compact_rows(
+        start, sel, mask, uncovered_any, R1
     )
-    big_sel = (
-        jnp.zeros((R + 1, k), sel.dtype)
-        .at[slot]
-        .set(sel, mode="drop")[:R]
-    )
-    big_pos = jnp.clip(big_start[:, None] + big_sel.astype(start.dtype), 0, nnz)
-    big_ids = graph.indices[big_pos]  # [R, k]
-    # route results back with an R-row scatter (R is small) instead of a
-    # B-row gather
-    inv_row = (
-        jnp.full((R + 1,), B, jnp.int32).at[slot].set(
-            jnp.arange(B, dtype=jnp.int32), mode="drop"
-        )[:R]
-    )
-    from_big = (
-        jnp.zeros((B + 1, k), big_ids.dtype)
-        .at[inv_row]
-        .set(big_ids, mode="drop")[:B]
-    )
-    served = covered | (uncovered_any & (rank < R))[:, None]
+
+    if W2 is None:
+        big_pos = jnp.clip(
+            big_start[:, None] + big_sel.astype(start.dtype), 0, nnz
+        )
+        big_ids = graph.indices[big_pos]  # [R1, k]
+        sub_ids, sub_mask = big_ids, big_mask
+    else:
+        # level 2: wider window over the compacted hub rows
+        ids2, cov2 = _window_select(graph, big_start, big_sel, big_mask, W2)
+        unc2 = jnp.any(big_mask & ~cov2, axis=1)
+        b2_start, b2_sel, b2_mask, inv2, _ = _compact_rows(
+            big_start, big_sel, big_mask, unc2, R2
+        )
+        b2_pos = jnp.clip(
+            b2_start[:, None] + b2_sel.astype(start.dtype), 0, nnz
+        )
+        b2_ids = graph.indices[b2_pos]  # [R2, k] exact elementwise
+        ids3, served3 = _scatter_back(b2_ids, b2_mask, inv2, R1)
+        sub_ids = jnp.where(cov2, ids2, ids3)
+        sub_mask = cov2 | served3
+
+    from_big, served_big = _scatter_back(sub_ids, sub_mask, inv_row, B)
+    served = covered | served_big
     ids = jnp.where(covered, ids, from_big)
     out_mask = mask & served
     overflow = jnp.sum((mask & ~served).astype(jnp.int32))
@@ -179,7 +238,8 @@ def sample_uniform(
         sel = jnp.where(take_all, j, perm)
         mask = valid[:, None] & (j < jnp.minimum(deg[:, None], k))
 
-    if window is not None and graph.num_edges > window:
+    w1 = window[0] if isinstance(window, (tuple, list)) else window
+    if window is not None and graph.num_edges > w1:
         ids, mask, ovf = _window_fetch(graph, start, sel, mask, window, big_row_budget)
         return SampledNeighbors(ids=ids, mask=mask, overflow=ovf)
 

@@ -244,6 +244,53 @@ class TestWindowFetch:
             np.testing.assert_array_equal(np.asarray(base.ids), np.asarray(win.ids))
             np.testing.assert_array_equal(np.asarray(base.mask), np.asarray(win.mask))
 
+    def test_two_level_window_cascade_identical_to_elementwise(self):
+        """(W1, W2) cascade with sufficient budgets == exact path, incl.
+        hub rows served by the wide second window."""
+        rng = np.random.default_rng(51)
+        N, E = 2000, 80000
+        # add a few extreme hubs so all three levels are exercised
+        dst = np.concatenate(
+            [rng.integers(0, N, E), np.full(3000, 7), np.full(1500, 123)]
+        )
+        src = rng.integers(0, N, len(dst))
+        hg = HostGraph.from_coo(src, dst, N)
+        g = hg.to_device()
+        seeds = jnp.asarray(
+            np.concatenate([rng.integers(0, N, 500), [7, 123] * 6]), jnp.int32
+        )
+        base = sample_uniform(g, seeds, k=8, replace=False, key=jax.random.key(3))
+        win = sample_uniform(
+            g, seeds, k=8, replace=False, key=jax.random.key(3),
+            window=(16, 256), big_row_budget=(512, 32),
+        )
+        assert int(win.overflow) == 0
+        np.testing.assert_array_equal(np.asarray(base.ids), np.asarray(win.ids))
+        np.testing.assert_array_equal(np.asarray(base.mask), np.asarray(win.mask))
+
+    def test_two_level_window_final_budget_overflow_counted(self):
+        """Rows beyond the level-2 window AND the final budget are masked
+        and counted, never corrupted."""
+        rng = np.random.default_rng(52)
+        N = 300
+        dst = np.concatenate([rng.integers(0, N, 3000)] + [
+            np.full(900, h) for h in range(8)  # 8 hubs deg ~900
+        ])
+        src = rng.integers(0, N, len(dst))
+        hg = HostGraph.from_coo(src, dst, N)
+        g = hg.to_device()
+        seeds = jnp.asarray(np.arange(8).repeat(4), jnp.int32)  # all hubs
+        base = sample_uniform(g, seeds, k=4, replace=False, key=jax.random.key(4))
+        win = sample_uniform(
+            g, seeds, k=4, replace=False, key=jax.random.key(4),
+            window=(8, 64), big_row_budget=(32, 2),  # final budget too small
+        )
+        m = np.asarray(win.mask)
+        assert int(win.overflow) > 0
+        np.testing.assert_array_equal(
+            np.asarray(win.ids)[m], np.asarray(base.ids)[m]
+        )
+
     def test_tight_budget_masks_not_corrupts(self):
         rng = np.random.default_rng(6)
         N, E = 500, 50000  # avg degree 100 >> window → every row is big
