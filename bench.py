@@ -69,14 +69,20 @@ def main():
     # frontier budget on the middle hop only (the final hop runs dedup-free);
     # window=128 enables the 2-row windowed edge gather (3x sampling speedup,
     # exact — see ops/sampling._window_fetch)
+    # Tuned knobs (scripts/probe_step4.py, all LOSSLESS — asserted below):
+    # * two-level window cascade: deg<=~128 rows from the narrow window,
+    #   hub rows (<=1024) from a wide second window, the ~500 deg>1024
+    #   hubs exactly elementwise under budget 1024;
+    # * hop-2 frontier cap 26624 (observed valid max ~25.5k of 33792):
+    #   trims the padded last-hop frontier 540672 -> 425984 rows, cutting
+    #   the dominant feature gather ~21% with zero frontier drops.
     trainer = Trainer(
         model=model,
         fan_out=fan_out,
-        frontier_caps=None,
+        frontier_caps=(3072, 26624, 10**9),
         dedup_last=False,
-        sampler_window=128,
-        sampler_big_budget=5120,  # covers this graph hub-row count (~3.4k
-        # frontier rows exceed the window; 2048 dropped 4.7% of edges)
+        sampler_window=(128, 1024),
+        sampler_big_budget=(5120, 1024),
         # gather_group left 0: every Pallas gather loses to XLA's take on
         # this chip (measured — see ops/gather_pallas.py module docstring)
     )
@@ -124,10 +130,14 @@ def main():
     seeds, mask = next(gen.epoch(jax.random.key(101)))
     blocks, stats = sample_blocks(
         graph, seeds, mask, fan_out, False, jax.random.key(7),
-        dedup_last=False, window=128, big_row_budget=5120,
+        dedup_last=False, window=(128, 1024), big_row_budget=(5120, 1024),
+        frontier_caps=(3072, 26624, 10**9),
     )
     assert int(stats["sampler_overflow"]) == 0, (
         f"big-row budget overflowed: {int(stats['sampler_overflow'])} slots"
+    )
+    assert int(stats["frontier_overflow"]) == 0, (
+        f"frontier cap dropped {int(stats['frontier_overflow'])} entries"
     )
     edges_per_step = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks))
     # fidelity check: the windowed sampler must not drop edges vs exact
