@@ -186,10 +186,17 @@ def main():
         )
         graph_b = hg_b.to_device(with_alias=True)
         trainer_b = Trainer(
-            model=model, fan_out=fan_out, dedup_last=False, gather_group=0,
+            model=model, fan_out=fan_out, dedup_last=False,
+            frontier_caps=(3072, 26624, 10**9),
+            sampler_window=(128, 1024), sampler_big_budget=(5120, 1024),
         )
         extras["bias_alias_edges_per_s"] = round(
-            measure_secondary(trainer_b, graph_b, features, {}), 1
+            measure_secondary(
+                trainer_b, graph_b, features,
+                dict(window=(128, 1024), big_row_budget=(5120, 1024),
+                     frontier_caps=(3072, 26624, 10**9)),
+            ),
+            1,
         )
     except Exception as e:  # noqa: BLE001 — secondary metrics never break the bench
         extras["bias_alias_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -151,3 +151,21 @@ int dg_build_alias(int64_t num_rows, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+// Parallel host feature-row gather: out[i] = base[ids[i]] for row_bytes-
+// sized rows. The staging hot path of the host-resident base tier
+// (dist_gnn_tpu/host_tier.py, parallel/host_dist.py) — replaces numpy's
+// single-threaded fancy-index gather; the analog of the reference's
+// pinned-host UVA reads (src/feature/cuda/feature_ops.cu:140-210) done
+// host-side with OpenMP.
+extern "C" int dg_gather_rows(int64_t num_ids, const int64_t* ids, const uint8_t* base,
+                   int64_t num_rows, int64_t row_bytes, uint8_t* out) {
+  if (row_bytes <= 0) return 1;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < num_ids; ++i) {
+    int64_t r = ids[i];
+    if (r < 0 || r >= num_rows) continue;  // caller pre-masks; skip = zeros
+    std::memcpy(out + i * row_bytes, base + r * row_bytes, row_bytes);
+  }
+  return 0;
+}

@@ -125,7 +125,9 @@ class HostFeatureStore:
         m = len(miss_idx)
         rows = np.zeros((R, self.base.shape[1]), dtype=self.base.dtype)
         if m:
-            rows[:m] = self.base[frontier_np[miss_idx]]
+            from dist_gnn_tpu.utils import native
+
+            native.gather_rows(self.base, frontier_np[miss_idx], out=rows[:m])
         slots = np.full(R, L, np.int32)  # pad slot L → dropped by the scatter
         slots[:m] = miss_idx
         return StagedRows(

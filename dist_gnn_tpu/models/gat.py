@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from dist_gnn_tpu.models.sage import _glorot
 from dist_gnn_tpu.ops.spmm import masked_segment_softmax
+from dist_gnn_tpu.ops.prng import dropout_keep
 from dist_gnn_tpu.sampler import Block
 
 
@@ -116,7 +117,7 @@ class GAT:
             if not last and train and self.dropout > 0:
                 assert rng is not None
                 rng, sub = jax.random.split(rng)
-                keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
+                keep = dropout_keep(sub, h.shape, 1 - self.dropout)
                 h = jnp.where(keep, h / (1 - self.dropout), 0)
             h = h.astype(x.dtype)
         return h

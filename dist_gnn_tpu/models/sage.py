@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from dist_gnn_tpu.ops.spmm import gather_mean
+from dist_gnn_tpu.ops.prng import dropout_keep
 from dist_gnn_tpu.sampler import Block
 
 
@@ -117,6 +118,6 @@ class SAGE:
                 if train and self.dropout > 0:
                     assert rng is not None
                     rng, sub = jax.random.split(rng)
-                    keep = jax.random.bernoulli(sub, 1 - self.dropout, h.shape)
+                    keep = dropout_keep(sub, h.shape, 1 - self.dropout)
                     h = jnp.where(keep, h / (1 - self.dropout), 0)
         return h

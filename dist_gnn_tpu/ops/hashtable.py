@@ -78,14 +78,3 @@ class SortedIdTable:
         hit = (self.sorted_ids.shape[0] > 0) & (self.sorted_ids[pos_c] == nids)
         return jnp.where(hit, self.slots[pos_c], 0), hit
 
-    def lookup_owner(self, nids: jnp.ndarray):
-        """(slot, owner, hit) — owner is -1 on miss."""
-        assert self.owners is not None
-        pos = jnp.searchsorted(self.sorted_ids, nids)
-        pos_c = jnp.clip(pos, 0, self.sorted_ids.shape[0] - 1)
-        hit = (self.sorted_ids.shape[0] > 0) & (self.sorted_ids[pos_c] == nids)
-        return (
-            jnp.where(hit, self.slots[pos_c], 0),
-            jnp.where(hit, self.owners[pos_c], -1),
-            hit,
-        )

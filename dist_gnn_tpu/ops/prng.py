@@ -126,6 +126,20 @@ def uniform_mod(bits: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return (bits.astype(jnp.uint32) % d).astype(jnp.int32)
 
 
+def dropout_keep(key: jax.Array, shape, keep_prob: float) -> jnp.ndarray:
+    """Cheap dropout mask: one threefry draw PER ROW, mix32 per element.
+
+    ``jax.random.bernoulli`` runs full threefry over the whole activation
+    (measured 1.6 ms of the bench train step for two [26k, 256] layers);
+    hashing a per-row 32-bit seed with the element index has the same
+    i.i.d.-quality mask at VPU-elementwise cost.  shape is 2-D [S, H]."""
+    S, H = shape
+    row = random_keys(key, (S,))  # [S] uint32 (threefry, small)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (S, H), 1)
+    bits = mix32(row[:, None] ^ (col * jnp.uint32(0x9E3779B9)))
+    return bits_to_uniform(bits) < keep_prob
+
+
 def bits_to_uniform(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 → float32 uniform in (0, 1): (bits >> 8) * 2**-24, nudged off 0."""
     u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)

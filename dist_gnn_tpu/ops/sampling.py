@@ -55,33 +55,45 @@ def _row_extents(graph: Graph, seeds: jnp.ndarray):
     return start, deg, valid
 
 
-def _window_select(graph: Graph, start, sel, mask, W: int):
-    """One window level: ids for picks whose position falls inside the
-    2W-window at each row's start.  Returns (ids [B, k], covered [B, k]).
+def _window_select_multi(
+    arrays, num_edges: int, start, sel, mask, W: int
+):
+    """One window level over several row-aligned edge arrays at once:
+    values for picks whose position falls inside the 2W-window at each
+    row's start.  Returns ([vals [B, k] per array], covered [B, k]).
 
-    View the edge array as [ceil(nnz/W), W]; any W-window starting at an
+    View each edge array as [ceil(nnz/W), W]; any W-window starting at an
     arbitrary offset is covered by two adjacent rows.  2-D row gathers
     are the fast TPU gather shape (~52M slices/s); vmap(dynamic_slice)
     over a 1-D array lowers ~30x slower (measured 58 ms vs 1.3 ms here).
     In-window selection is a compare+mask+reduce — NOT take_along_axis,
     which lowers to a per-element gather (measured 5.1 ms vs 0.18 ms for
-    this fused reduction at [33792, 256] pick 15).
+    this fused reduction at [33792, 256] pick 15); the hit mask is built
+    once and shared across the arrays.
     """
     B, k = sel.shape
-    n_rows = -(-graph.num_edges // W)
-    flat = graph.indices
-    pad = n_rows * W - graph.num_edges
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-    mat = flat.reshape(n_rows, W)
+    n_rows = -(-num_edges // W)
+    pad = n_rows * W - num_edges
     r0 = jnp.clip((start // W).astype(jnp.int32), 0, max(n_rows - 2, 0))
     pair = jnp.stack([r0, r0 + 1], axis=1)  # [B, 2]
-    win = mat[pair].reshape(B, 2 * W)  # [B, 2W]
     adj = (start - (r0.astype(start.dtype) * W))[:, None] + sel  # [B, k]
     covered = mask & (adj < 2 * W)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * W), 2)
     hitmask = w_iota == jnp.clip(adj, 0, 2 * W - 1)[:, :, None]  # [B, k, 2W]
-    ids = jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2)
+    vals = []
+    for flat in arrays:
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        win = flat.reshape(n_rows, W)[pair].reshape(B, 2 * W)  # [B, 2W]
+        vals.append(jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2))
+    return vals, covered
+
+
+def _window_select(graph: Graph, start, sel, mask, W: int):
+    """Single-array (neighbor ids) wrapper of :func:`_window_select_multi`."""
+    (ids,), covered = _window_select_multi(
+        (graph.indices,), graph.num_edges, start, sel, mask, W
+    )
     return ids, covered
 
 
@@ -110,32 +122,34 @@ def _compact_rows(start, sel, mask, rows_flag, R: int):
     return big_start, big_sel, big_mask, inv_row, in_budget
 
 
-def _scatter_back(ids_sub, mask_sub, inv_row, B: int):
+def _scatter_back_vals(vals_sub, mask_sub, inv_row, B: int):
     """Route a compacted level's results back to [B, k] via an R-row
-    scatter (R small) instead of a B-row gather."""
-    k = ids_sub.shape[1]
-    ids = (
-        jnp.full((B + 1, k), INVALID_ID, ids_sub.dtype)
-        .at[inv_row]
-        .set(jnp.where(mask_sub, ids_sub, INVALID_ID), mode="drop")[:B]
-    )
+    scatter (R small) instead of a B-row gather.  Unserved slots are 0."""
+    k = mask_sub.shape[1]
     served = (
         jnp.zeros((B + 1, k), bool).at[inv_row].set(mask_sub, mode="drop")[:B]
     )
-    return ids, served
+    outs = [
+        jnp.zeros((B + 1, k), v.dtype)
+        .at[inv_row]
+        .set(jnp.where(mask_sub, v, 0), mode="drop")[:B]
+        for v in vals_sub
+    ]
+    return outs, served
 
 
-def _window_fetch(
-    graph: Graph,
+def _window_fetch_multi(
+    arrays,  # tuple of [nnz] row-aligned edge arrays (ids/probs/alias...)
+    num_edges: int,
     start: jnp.ndarray,  # [B] row starts (edge offsets)
     sel: jnp.ndarray,  # [B, k] sampled positions within each row
     mask: jnp.ndarray,  # [B, k]
     window,  # int W, or (W1, W2) two-level cascade
     big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
 ):
-    """Fetch ``indices[start + sel]`` using contiguous window gathers
-    instead of B*k element gathers (TPU gather throughput is bounded by
-    slice count — see ops/gather_pallas.py module docstring).
+    """Fetch ``a[start + sel]`` for every array in ``arrays`` using
+    contiguous window gathers instead of B*k element gathers (TPU gather
+    throughput is bounded by slice count — see ops/gather_pallas.py).
 
     Levels: picks inside the 2*W1 window are served by the [B, 2W1]
     gather; rows with farther picks (deg >~ W1) compact into budget R1 and
@@ -146,9 +160,12 @@ def _window_fetch(
     is masked and returned as a count — never silently wrong.  Exactness:
     identical results to the elementwise path whenever budgets suffice
     (tested).
+
+    Returns ([vals [B, k] per array — 0 where unserved], served [B, k],
+    overflow count).
     """
     B, k = sel.shape
-    nnz = max(graph.num_edges - 1, 0)
+    nnz = max(num_edges - 1, 0)
     if isinstance(window, (tuple, list)):
         W1, W2 = window
         assert big_row_budget is not None, "cascade windows need budgets"
@@ -157,15 +174,16 @@ def _window_fetch(
         W1, W2 = window, None
         R1, R2 = big_row_budget, None
 
-    ids, covered = _window_select(graph, start, sel, mask, W1)
+    vals, covered = _window_select_multi(arrays, num_edges, start, sel, mask, W1)
 
     uncovered_any = jnp.any(mask & ~covered, axis=1)  # [B]
     if R1 is None:
         # exact fallback: full elementwise gather merged in
         pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
-        ids_elem = graph.indices[pos]
-        ids = jnp.where(covered, ids, ids_elem)
-        return jnp.where(mask, ids, INVALID_ID), mask, jnp.int32(0)
+        vals = [
+            jnp.where(covered, v, a[pos]) for v, a in zip(vals, arrays)
+        ]
+        return vals, mask, jnp.int32(0)
 
     big_start, big_sel, big_mask, inv_row, _ = _compact_rows(
         start, sel, mask, uncovered_any, R1
@@ -175,11 +193,13 @@ def _window_fetch(
         big_pos = jnp.clip(
             big_start[:, None] + big_sel.astype(start.dtype), 0, nnz
         )
-        big_ids = graph.indices[big_pos]  # [R1, k]
-        sub_ids, sub_mask = big_ids, big_mask
+        sub_vals = [a[big_pos] for a in arrays]  # [R1, k] exact
+        sub_mask = big_mask
     else:
         # level 2: wider window over the compacted hub rows
-        ids2, cov2 = _window_select(graph, big_start, big_sel, big_mask, W2)
+        vals2, cov2 = _window_select_multi(
+            arrays, num_edges, big_start, big_sel, big_mask, W2
+        )
         unc2 = jnp.any(big_mask & ~cov2, axis=1)
         b2_start, b2_sel, b2_mask, inv2, _ = _compact_rows(
             big_start, big_sel, big_mask, unc2, R2
@@ -187,17 +207,36 @@ def _window_fetch(
         b2_pos = jnp.clip(
             b2_start[:, None] + b2_sel.astype(start.dtype), 0, nnz
         )
-        b2_ids = graph.indices[b2_pos]  # [R2, k] exact elementwise
-        ids3, served3 = _scatter_back(b2_ids, b2_mask, inv2, R1)
-        sub_ids = jnp.where(cov2, ids2, ids3)
+        b3_vals = [a[b2_pos] for a in arrays]  # [R2, k] exact elementwise
+        vals3, served3 = _scatter_back_vals(b3_vals, b2_mask, inv2, R1)
+        sub_vals = [
+            jnp.where(cov2, v2, v3) for v2, v3 in zip(vals2, vals3)
+        ]
         sub_mask = cov2 | served3
 
-    from_big, served_big = _scatter_back(sub_ids, sub_mask, inv_row, B)
-    served = covered | served_big
-    ids = jnp.where(covered, ids, from_big)
-    out_mask = mask & served
+    from_big, served_big = _scatter_back_vals(sub_vals, sub_mask, inv_row, B)
+    served = (covered | served_big) & mask
+    vals = [
+        jnp.where(covered, v, vb) for v, vb in zip(vals, from_big)
+    ]
     overflow = jnp.sum((mask & ~served).astype(jnp.int32))
-    return jnp.where(out_mask, ids, INVALID_ID), out_mask, overflow
+    return vals, served, overflow
+
+
+def _window_fetch(
+    graph: Graph,
+    start: jnp.ndarray,  # [B] row starts (edge offsets)
+    sel: jnp.ndarray,  # [B, k] sampled positions within each row
+    mask: jnp.ndarray,  # [B, k]
+    window,  # int W, or (W1, W2) two-level cascade
+    big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
+):
+    """Neighbor-id specialization of :func:`_window_fetch_multi`."""
+    (ids,), served, overflow = _window_fetch_multi(
+        (graph.indices,), graph.num_edges, start, sel, mask, window,
+        big_row_budget,
+    )
+    return jnp.where(served, ids, INVALID_ID), served, overflow
 
 
 @partial(jax.jit, static_argnames=("k", "replace", "window", "big_row_budget"))
@@ -347,9 +386,15 @@ def sample_biased(
     return SampledNeighbors(ids=ids, mask=mask)
 
 
-@partial(jax.jit, static_argnames=("k", "replace"))
+@partial(jax.jit, static_argnames=("k", "replace", "window", "big_row_budget"))
 def sample_biased_alias(
-    graph: Graph, seeds: jnp.ndarray, k: int, replace: bool, key: jax.Array
+    graph: Graph,
+    seeds: jnp.ndarray,
+    k: int,
+    replace: bool,
+    key: jax.Array,
+    window=None,
+    big_row_budget=None,
 ) -> SampledNeighbors:
     """Weighted sampling via per-row Walker alias tables — O(B*k) draws.
 
@@ -371,33 +416,52 @@ def sample_biased_alias(
     start, deg, valid = _row_extents(graph, seeds)
     nnz = max(graph.num_edges - 1, 0)
 
-    def alias_draw(bits_slot, bits_u):
+    w1 = window[0] if isinstance(window, (tuple, list)) else window
+    windowed = window is not None and graph.num_edges > w1
+
+    def fetch(arrays, pos_in_row, m):
+        """arrays[i][start + pos_in_row], windowed when enabled.
+        Returns (vals list, served mask, overflow count)."""
+        if windowed:
+            return _window_fetch_multi(
+                arrays, graph.num_edges, start, pos_in_row, m, window,
+                big_row_budget,
+            )
+        pos = jnp.clip(start[:, None] + pos_in_row.astype(start.dtype), 0, nnz)
+        return [a[pos] for a in arrays], m, jnp.int32(0)
+
+    def alias_draw(bits_slot, bits_u, m):
         """One weighted draw per element → edge offset within the row."""
         j = prng.uniform_mod(bits_slot, deg[:, None])
-        pos = jnp.clip(start[:, None] + j.astype(start.dtype), 0, nnz)
-        pr = graph.alias_prob[pos]
-        al = graph.alias_idx[pos]
+        (pr, al), served, ovf = fetch(
+            (graph.alias_prob, graph.alias_idx), j, m
+        )
         u = prng.bits_to_uniform(bits_u)
-        return jnp.where(u < pr, j, al)
+        return jnp.where(u < pr, j, al.astype(j.dtype)), served, ovf
 
     if replace:
         bits = prng.random_keys(key, (2, B, k))
-        sel = alias_draw(bits[0], bits[1])
-        mask = valid[:, None] & (deg[:, None] > 0)
-        pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
-        ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
-        return SampledNeighbors(ids=ids, mask=mask)
+        m0 = jnp.broadcast_to(valid[:, None] & (deg[:, None] > 0), (B, k))
+        sel, served_d, ovf_d = alias_draw(bits[0], bits[1], m0)
+        (idv,), served_i, ovf_i = fetch((graph.indices,), sel, served_d)
+        mask = m0 & served_i
+        ids = jnp.where(mask, idv, INVALID_ID)
+        return SampledNeighbors(
+            ids=ids, mask=mask, overflow=(ovf_d + ovf_i).astype(jnp.int32)
+        )
 
     T = 4 * k
     bits = prng.random_keys(key, (2, B, T))
-    draws = alias_draw(bits[0], bits[1])  # [B, T] row offsets
+    mT = jnp.broadcast_to(valid[:, None] & (deg[:, None] > 0), (B, T))
+    draws, served_T, ovf_d = alias_draw(bits[0], bits[1], mT)
+    # [B, T] row offsets; budget-dropped draws are excluded below
 
     # dense-row exact path: deg <= 2k → Gumbel top-k over the whole row
     D = 2 * k
     off = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
     in_row = off < jnp.minimum(deg[:, None], D)
-    posd = jnp.clip(start[:, None] + off.astype(start.dtype), 0, nnz)
-    w = jnp.where(in_row, graph.probs[posd], 0.0)
+    (wv,), served_w, ovf_w = fetch((graph.probs,), off, in_row)
+    w = jnp.where(in_row & served_w, wv, 0.0)
     gkey = jax.random.fold_in(key, 1)
     gu = prng.bits_to_uniform(prng.random_keys(gkey, (B, D)))
     glog = jnp.where(in_row & (w > 0), jnp.log(gu) / w, -jnp.inf)
@@ -408,7 +472,7 @@ def sample_biased_alias(
     eq = draws[:, :, None] == draws[:, None, :]  # [B, T, T]
     earlier = jnp.tril(jnp.ones((T, T), bool), k=-1)
     dup = jnp.any(eq & earlier[None], axis=2)
-    first = ~dup
+    first = ~dup & served_T
     rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
     take = first & (rank < k)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
@@ -432,15 +496,21 @@ def sample_biased_alias(
         jnp.where(is_dense, dense_valid, sparse_valid),
     )
     mask = valid[:, None] & smask
-    pos = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
-    ids = jnp.where(mask, graph.indices[pos], INVALID_ID)
+    (idv,), served_i, ovf_i = fetch((graph.indices,), sel, mask)
+    mask = mask & served_i
+    ids = jnp.where(mask, idv, INVALID_ID)
     # sparse-path shortfall (fewer than k distinct draws in T attempts on a
-    # deg > 2k row) is astronomically rare but observable, not silent
+    # deg > 2k row — or draws lost to window budgets) is rare but
+    # observable, not silent
     sparse_row = valid & ~take_all[:, 0] & (deg > D)
     shortfall = jnp.sum(
         jnp.where(sparse_row, jnp.maximum(k - got, 0), 0)
     ).astype(jnp.int32)
-    return SampledNeighbors(ids=ids, mask=mask, overflow=shortfall)
+    return SampledNeighbors(
+        ids=ids,
+        mask=mask,
+        overflow=(shortfall + ovf_w + ovf_i).astype(jnp.int32),
+    )
 
 
 def sample_neighbors(
@@ -459,7 +529,10 @@ def sample_neighbors(
         biased = graph.probs is not None
     if biased:
         if graph.alias_prob is not None:
-            return sample_biased_alias(graph, seeds, k, replace, key)
+            return sample_biased_alias(
+                graph, seeds, k, replace, key,
+                window=window, big_row_budget=big_row_budget,
+            )
         return sample_biased(graph, seeds, k, replace, key)
     return sample_uniform(
         graph, seeds, k, replace, key, window=window, big_row_budget=big_row_budget

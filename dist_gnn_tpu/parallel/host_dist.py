@@ -141,7 +141,9 @@ class DistHostFeatureStore:
             k = len(miss_idx)
             count += k
             if k:
-                rows[c, :k] = self.base[ids[miss_idx]]
+                from dist_gnn_tpu.utils import native
+
+                native.gather_rows(self.base, ids[miss_idx], out=rows[c, :k])
                 slots[c, :k] = miss_idx
         ax = self.axis_name
         return DistStaged(

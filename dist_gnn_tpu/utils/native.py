@@ -78,6 +78,16 @@ def _configure(lib: ctypes.CDLL) -> None:
         i32p,  # out alias
     ]
     lib.dg_build_alias.restype = ctypes.c_int
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dg_gather_rows.argtypes = [
+        ctypes.c_int64,  # num_ids
+        i64p,  # ids
+        u8p,  # base bytes
+        ctypes.c_int64,  # num_rows
+        ctypes.c_int64,  # row_bytes
+        u8p,  # out bytes [num_ids * row_bytes]
+    ]
+    lib.dg_gather_rows.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -221,3 +231,36 @@ def build_alias(indptr: np.ndarray, weights: np.ndarray):
             prob[lo + s_] = 1.0
             alias[lo + s_] = s_
     return prob, alias
+
+
+def gather_rows(
+    base: np.ndarray, ids: np.ndarray, out: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """``out[i] = base[ids[i]]`` with the OpenMP host gather (the staging
+    hot path of the host-resident base tier); numpy fallback.
+
+    ``base`` must be C-contiguous 2-D; rows for out-of-range ids are left
+    as-is (callers pass pre-zeroed ``out`` and pre-masked ids)."""
+    ids64 = np.ascontiguousarray(ids, dtype=np.int64)
+    if out is None:
+        out = np.zeros((len(ids64), base.shape[1]), dtype=base.dtype)
+    lib = _find_lib()
+    if (
+        lib is not None
+        and base.flags["C_CONTIGUOUS"]
+        and out.flags["C_CONTIGUOUS"]
+    ):
+        row_bytes = base.strides[0]
+        rc = lib.dg_gather_rows(
+            len(ids64),
+            _as_ptr(ids64, ctypes.c_int64),
+            base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            base.shape[0],
+            row_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out
+    valid = (ids64 >= 0) & (ids64 < base.shape[0])
+    out[valid] = base[ids64[valid]]
+    return out

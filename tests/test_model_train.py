@@ -79,10 +79,12 @@ def test_sorted_id_table_roundtrip():
     ids = np.array([5, 1, 9, 1, 3], dtype=np.int32)
     prio = np.array([1, 0, 0, 1, 0], dtype=np.int32)
     t = SortedIdTable.build(ids, owners=np.array([0, 1, 2, 3, 4]), priority=prio)
-    slots, owners, hit = t.lookup_owner(jnp.asarray([1, 9, 7], jnp.int32))
+    slots, hit = t.lookup(jnp.asarray([1, 9, 7], jnp.int32))
     assert list(np.asarray(hit)) == [True, True, False]
     assert np.asarray(slots)[0] == 1  # priority-0 copy of id 1 wins (slot 1)
-    assert np.asarray(owners)[1] == 2
+    # owner table kept in build order for routing consumers (peer_hot_fetch)
+    pos9 = int(np.searchsorted(np.asarray(t.sorted_ids), 9))
+    assert int(np.asarray(t.owners)[pos9]) == 2
 
 
 def test_end_to_end_training_learns():

@@ -453,3 +453,58 @@ class TestSamplerOverflowObservability:
             jax.random.key(1), frontier_caps=(40, 40),
         )
         assert int(stats2["frontier_overflow"]) > 0
+
+
+class TestAliasWindowed:
+    """Windowed alias fetches must be bit-identical to the elementwise
+    alias path (same keys) for both replace modes, incl. hub rows."""
+
+    def make_graph(self, seed=60, n=800, e=24000, hubs=((5, 2000), (77, 900))):
+        rng = np.random.default_rng(seed)
+        dst = [rng.integers(0, n, e)]
+        for h, cnt in hubs:
+            dst.append(np.full(cnt, h))
+        dst = np.concatenate(dst)
+        src = rng.integers(0, n, len(dst))
+        probs = np.abs(rng.standard_normal(len(dst))).astype(np.float32) + 0.05
+        hg = HostGraph.from_coo(src, dst, n, probs=probs)
+        return hg.to_device(with_alias=True)
+
+    @pytest.mark.parametrize("replace", [False, True])
+    def test_windowed_matches_elementwise(self, replace):
+        from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+        g = self.make_graph()
+        rng = np.random.default_rng(61)
+        seeds = jnp.asarray(
+            np.concatenate([rng.integers(0, 800, 300), [5, 77] * 8]), jnp.int32
+        )
+        base = sample_biased_alias(g, seeds, k=6, replace=replace,
+                                   key=jax.random.key(9))
+        win = sample_biased_alias(
+            g, seeds, k=6, replace=replace, key=jax.random.key(9),
+            window=(16, 512), big_row_budget=(512, 64),
+        )
+        assert int(win.overflow) == int(base.overflow)
+        np.testing.assert_array_equal(np.asarray(base.ids), np.asarray(win.ids))
+        np.testing.assert_array_equal(np.asarray(base.mask), np.asarray(win.mask))
+
+    def test_windowed_budget_overflow_counted(self):
+        from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+        g = self.make_graph(seed=62)
+        rng = np.random.default_rng(63)
+        seeds = jnp.asarray(rng.integers(0, 800, 400), jnp.int32)
+        win = sample_biased_alias(
+            g, seeds, k=6, replace=True, key=jax.random.key(1),
+            window=(8, 16), big_row_budget=(16, 2),  # way undersized
+        )
+        base = sample_biased_alias(g, seeds, k=6, replace=True,
+                                   key=jax.random.key(1))
+        m = np.asarray(win.mask)
+        assert int(win.overflow) > 0
+        # surviving slots match the exact draw (alias tables consulted at
+        # identical positions)
+        np.testing.assert_array_equal(
+            np.asarray(win.ids)[m], np.asarray(base.ids)[m]
+        )
