@@ -15,6 +15,8 @@ Runs:
   whole mesh:         python node_classification.py --dist
   weighted sampling:  python node_classification.py --bias
   GAT aggregation:    python node_classification.py --model gat
+  bigger-than-HBM:    python node_classification.py --tier host
+  3-tier mesh:        python node_classification.py --tier dist-host
 """
 
 from __future__ import annotations
@@ -43,6 +45,16 @@ def parse_args():
                     help="comma budgets per hop (sampling order)")
     ap.add_argument("--dist", action="store_true",
                     help="shard over all devices (features+structure+DP)")
+    ap.add_argument("--tier", default="hbm",
+                    choices=["hbm", "host", "dist-host"],
+                    help="feature residency: hbm (default), host = host-RAM "
+                         "base + HBM hot tier + staged misses (graphs bigger "
+                         "than HBM), dist-host = the same over the mesh with "
+                         "peer-hot ICI serving")
+    ap.add_argument("--hot-frac", type=float, default=0.2,
+                    help="fraction of nodes in the HBM hot tier (tier!=hbm)")
+    ap.add_argument("--miss-budget", type=int, default=0,
+                    help="staged miss rows per batch (0 = auto)")
     ap.add_argument("--checkpoint", default=None, help="save path prefix")
     ap.add_argument("--resume", default=None, help="load path prefix")
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
@@ -55,6 +67,94 @@ def parse_args():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 devices)")
     return ap.parse_args()
+
+
+def run_host_tier(args, arrays, meta, hg, model, fan_out, log):
+    """Host-resident feature base (graphs bigger than HBM): single-chip
+    double-buffered pipeline (--tier host) or the mesh-wide three-tier
+    data plane (--tier dist-host)."""
+    import jax
+    import numpy as np
+
+    from dist_gnn_tpu.ops.heat import get_node_heat
+    from dist_gnn_tpu.dataloading import SeedGenerator
+
+    graph = hg.to_device()
+    feats = np.asarray(arrays["features"])
+    labels = np.asarray(arrays["labels"], dtype=np.int32)
+    N = meta["num_nodes"]
+    C_total = max(1, int(N * args.hot_frac))
+    _, f_heat = get_node_heat(
+        graph, np.asarray(arrays["train_idx"], np.int32), list(fan_out)
+    )
+    order = np.argsort(-np.asarray(f_heat))  # hottest first
+
+    from dist_gnn_tpu.sampler import layer_capacities
+
+    frontier_cap = layer_capacities(args.batch_size, fan_out)[-1]
+    miss_budget = args.miss_budget or frontier_cap
+
+    if args.tier == "host":
+        from dist_gnn_tpu.host_tier import HostFeatureStore
+        from dist_gnn_tpu.training.pipeline import HostTierTrainer
+
+        store = HostFeatureStore(
+            feats, order[:C_total].astype(np.int32), miss_budget=miss_budget
+        )
+        trainer = HostTierTrainer(
+            model=model, fan_out=fan_out, store=store, dedup_last=False
+        )
+        world_batch = args.batch_size
+    else:
+        from dist_gnn_tpu.parallel import make_mesh
+        from dist_gnn_tpu.parallel.host_dist import (
+            DistHostFeatureStore,
+            DistHostTrainer,
+        )
+
+        mesh = make_mesh()
+        n = mesh.shape["data"]
+        C = max(1, C_total // n)
+        hot = order[: n * C].reshape(n, C).astype(np.int32)  # selfless plan
+        store = DistHostFeatureStore(
+            feats, mesh, hot, miss_budget=miss_budget
+        )
+        trainer = DistHostTrainer(
+            model=model, fan_out=fan_out, store=store, dedup_last=False
+        )
+        world_batch = max(n, args.batch_size // n * n)
+
+    state = trainer.init_state(jax.random.key(args.seed))
+    print(
+        f"tier={args.tier}: base {feats.nbytes / 2**20:.0f} MiB host-resident, "
+        f"hot {C_total} rows in HBM, miss budget {miss_budget}"
+    )
+    gen = SeedGenerator(arrays["train_idx"], world_batch, shuffle=True,
+                        drop_last=True)
+    import time as _time
+
+    for epoch in range(args.epochs):
+        t0 = _time.perf_counter()
+        batches = [
+            (np.asarray(s), np.asarray(m))
+            for s, m in gen.epoch(jax.random.key(1000 + epoch))
+        ]
+        state, ms = trainer.train_batches(
+            state, graph, labels, batches, jax.random.key(epoch)
+        )
+        jax.block_until_ready(state.params)
+        dt = _time.perf_counter() - t0
+        loss = float(np.mean([float(m["loss"]) for m in ms]))
+        acc = float(np.mean([float(m["acc"]) for m in ms]))
+        miss = int(np.mean([m["feat_miss"] for m in ms]))
+        ovf = sum(int(m["feat_overflow"]) for m in ms)
+        print(
+            f"epoch {epoch}: loss={loss:.4f} train_acc={acc:.4f} "
+            f"miss/batch={miss} overflow={ovf} time={dt:.2f}s"
+        )
+        log.log("epoch", epoch=epoch, loss=loss, train_acc=acc,
+                feat_miss=miss, feat_overflow=ovf, time_s=dt)
+    log.close()
 
 
 def main():
@@ -116,6 +216,10 @@ def main():
         num_layers=len(fan_out),
         **kwargs,
     )
+
+    if args.tier != "hbm":
+        run_host_tier(args, arrays, meta, hg, model, fan_out, log)
+        return
 
     if args.dist:
         from jax.sharding import NamedSharding, PartitionSpec as P
