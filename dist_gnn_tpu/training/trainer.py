@@ -50,10 +50,10 @@ class Trainer:
     dedup_last: bool = True  # False = no-dedup final hop (faster, same math)
     sampler_window: Any = None  # windowed-gather fast path (ops/sampling.py)
     sampler_big_budget: Any = None
-    # Multi-row Pallas feature gather: G row-DMAs per grid step break the
-    # dispatch-bound ceiling of XLA's row gather (91M -> 500M rows/s at
-    # G=16 on v5e, scripts/bench_gather.py). Needs feature_dim % 128 == 0
-    # (pad the store); 0 = XLA take (CPU/test default).
+    # Multi-row Pallas feature gather (ops/gather_pallas.gather_rows).
+    # Honest measurement (scripts/bench_gather2.py, full-output consumption):
+    # every Pallas variant LOSES to XLA's take (~92M rows/s on v5e) — grid
+    # blocks 25M, explicit row DMAs 62M. Kept for study; leave 0 (= XLA take).
     gather_group: int = 0
 
     def __post_init__(self):
