@@ -171,6 +171,75 @@ class StagedAdjacency(NamedTuple):
     overflow: int  # host-side: misses beyond the budget
 
 
+def plan_hop_arrays(
+    indptr64: np.ndarray,  # [N+1] host CSC offsets
+    indices: np.ndarray,  # [nnz] host CSC neighbor ids
+    sorted_hot: np.ndarray,  # [C] sorted hot node ids (this chip's HBM tier)
+    miss_budget: int,
+    deg_cap: int,
+    seeds_np: np.ndarray,  # [L]
+    mask_np: np.ndarray,  # [L]
+    k: int,
+    rng,
+) -> tuple:
+    """Pure-numpy hop planning shared by the single-chip and distributed
+    host-structure stores: probe the hot tier, stage miss adjacency.
+
+    Returns (local_rows [L] int32, dict of StagedAdjacency device-array
+    fields as numpy, staged count, overflow count)."""
+    L = len(seeds_np)
+    C = len(sorted_hot)
+    safe_seed = np.where(mask_np, seeds_np, 0)
+    if C:
+        pos = np.clip(np.searchsorted(sorted_hot, safe_seed), 0, C - 1)
+        hit = mask_np & (sorted_hot[pos] == safe_seed)
+    else:
+        pos = np.zeros(L, np.int64)
+        hit = np.zeros(L, bool)
+    local_rows = np.where(hit, pos, INVALID_ID).astype(np.int32)
+
+    miss_idx = np.flatnonzero(mask_np & ~hit)
+    M = miss_budget
+    overflow = max(0, len(miss_idx) - M)
+    miss_idx = miss_idx[:M]
+    m = len(miss_idx)
+    Dcap = deg_cap
+
+    window = np.zeros((M, Dcap), np.int32)
+    deg_out = np.zeros(M, np.int32)
+    row_of = np.full(M, L, np.int32)  # pad → out-of-bounds scatter drop
+    pre_ids = np.full((M, k), INVALID_ID, np.int32)
+    pre_mask = np.zeros((M, k), bool)
+    is_pre = np.zeros(M, bool)
+    if m:
+        ids = seeds_np[miss_idx]
+        start = indptr64[ids]
+        deg = (indptr64[ids + 1] - start).astype(np.int64)
+        row_of[:m] = miss_idx
+        deg_out[:m] = np.minimum(deg, np.iinfo(np.int32).max)
+        small = deg <= Dcap
+        # small rows: one vectorised window gather (clipped fancy index)
+        pos_mat = start[:, None] + np.arange(Dcap)[None, :]
+        pos_mat = np.clip(pos_mat, 0, max(len(indices) - 1, 0))
+        win = indices[pos_mat]
+        win[~(np.arange(Dcap)[None, :] < deg[:, None])] = 0
+        win[~small] = 0
+        window[:m] = win
+        # huge rows: host-side exact k-of-deg draw (few of them)
+        for j in np.flatnonzero(~small):
+            d = int(deg[j])
+            picks = rng.choice(d, size=min(k, d), replace=False)
+            row = indices[start[j] : start[j] + d][picks]
+            pre_ids[j, : len(row)] = row
+            pre_mask[j, : len(row)] = True
+            is_pre[j] = True
+    arrs = dict(
+        window=window, deg=deg_out, row_of=row_of,
+        pre_ids=pre_ids, pre_mask=pre_mask, is_pre=is_pre,
+    )
+    return local_rows, arrs, m, overflow
+
+
 class HostCSCStore:
     """Graph STRUCTURE host-resident; hot sub-CSR in HBM; per-hop staging.
 
@@ -237,59 +306,12 @@ class HostCSCStore:
         StagedAdjacency).  ``rng`` is a np.random.Generator for the rare
         host-presampled hub rows.
         """
-        L = len(seeds_np)
-        C = len(self.sorted_np)
-        safe_seed = np.where(mask_np, seeds_np, 0)
-        if C:
-            pos = np.clip(np.searchsorted(self.sorted_np, safe_seed), 0, C - 1)
-            hit = mask_np & (self.sorted_np[pos] == safe_seed)
-        else:
-            pos = np.zeros(L, np.int64)
-            hit = np.zeros(L, bool)
-        local_rows = np.where(hit, pos, INVALID_ID).astype(np.int32)
-
-        miss_idx = np.flatnonzero(mask_np & ~hit)
-        M = self.miss_budget
-        overflow = max(0, len(miss_idx) - M)
-        miss_idx = miss_idx[:M]
-        m = len(miss_idx)
-        Dcap = self.deg_cap
-
-        window = np.zeros((M, Dcap), np.int32)
-        deg_out = np.zeros(M, np.int32)
-        row_of = np.full(M, L, np.int32)  # pad → out-of-bounds scatter drop
-        pre_ids = np.full((M, k), INVALID_ID, np.int32)
-        pre_mask = np.zeros((M, k), bool)
-        is_pre = np.zeros(M, bool)
-        if m:
-            ids = seeds_np[miss_idx]
-            start = self.indptr64[ids]
-            deg = (self.indptr64[ids + 1] - start).astype(np.int64)
-            row_of[:m] = miss_idx
-            deg_out[:m] = np.minimum(deg, np.iinfo(np.int32).max)
-            small = deg <= Dcap
-            # small rows: one vectorised window gather (clipped fancy index)
-            pos_mat = start[:, None] + np.arange(Dcap)[None, :]
-            pos_mat = np.clip(pos_mat, 0, max(len(self.hg.indices) - 1, 0))
-            win = self.hg.indices[pos_mat]
-            win[~(np.arange(Dcap)[None, :] < deg[:, None])] = 0
-            win[~small] = 0
-            window[:m] = win
-            # huge rows: host-side exact k-of-deg draw (few of them)
-            for j in np.flatnonzero(~small):
-                d = int(deg[j])
-                picks = rng.choice(d, size=min(k, d), replace=False)
-                row = self.hg.indices[start[j] : start[j] + d][picks]
-                pre_ids[j, : len(row)] = row
-                pre_mask[j, : len(row)] = True
-                is_pre[j] = True
+        local_rows, arrs, m, overflow = plan_hop_arrays(
+            self.indptr64, self.hg.indices, self.sorted_np,
+            self.miss_budget, self.deg_cap, seeds_np, mask_np, k, rng,
+        )
         return local_rows, StagedAdjacency(
-            window=jax.device_put(window),
-            deg=jax.device_put(deg_out),
-            row_of=jax.device_put(row_of),
-            pre_ids=jax.device_put(pre_ids),
-            pre_mask=jax.device_put(pre_mask),
-            is_pre=jax.device_put(is_pre),
+            **{name: jax.device_put(a) for name, a in arrs.items()},
             count=m,
             overflow=overflow,
         )

@@ -42,9 +42,10 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dist_gnn_tpu.graph import INVALID_ID, Graph
+from dist_gnn_tpu.host_tier import StagedAdjacency, sample_staged_hop
 from dist_gnn_tpu.ops.hashtable import SortedIdTable
 from dist_gnn_tpu.parallel.feature_store import peer_hot_fetch, request_budget
-from dist_gnn_tpu.sampler import sample_blocks
+from dist_gnn_tpu.sampler import Block, _no_dedup_block, _relabel, sample_blocks
 from dist_gnn_tpu.training.trainer import TrainState
 
 
@@ -217,12 +218,16 @@ class DistHostFeatureStore:
 class DistHostTrainer:
     """Distributed trainer over the host-base store: split-phase jitted
     shard_maps with double-buffered host staging (see module docstring).
-    Structure is device-resident (replicated Graph) — the host-resident
-    structure path is single-chip for now (host_tier.HostCSCStore)."""
+
+    Structure is device-resident (replicated Graph) by default; pass
+    ``gstore`` (parallel/host_struct.DistHostCSCStore) to make the
+    TOPOLOGY host-resident too — per-chip HBM hot sub-CSRs with per-hop
+    staged miss adjacency, the full bigger-than-HBM data plane."""
 
     model: Any
     fan_out: Tuple[int, ...]
     store: DistHostFeatureStore
+    gstore: Any = None  # Optional[DistHostCSCStore]
     lr: float = 1e-3
     weight_decay: float = 5e-4
     replace: bool = False
@@ -312,6 +317,100 @@ class DistHostTrainer:
             ),
             check_vma=False,
         )(seeds, seed_mask, key)
+
+    # ---- phase 1b: host-resident structure (per-hop shard_maps) ---------------
+
+    @partial(jax.jit, static_argnames=("self", "k", "last"))
+    def _hop_phase(self, gargs, seeds, seed_mask, local_rows, staged, k, last, key):
+        """One hop over every chip: hot sub-CSR Feistel sampling + staged
+        window sampling + relabel (or the dedup-free final block)."""
+        ax = self.axis_name
+        gs = self.gstore
+        C, E, MD = gs.hot_num_nodes, gs.hot_num_edges, gs.hot_max_degree
+
+        def body(indptr, indices, seeds_, mask_, lrows, st, key_):
+            hot_graph = Graph(
+                indptr=indptr.reshape(-1), indices=indices.reshape(-1),
+                probs=None, num_nodes=C, num_edges=E, max_degree=MD,
+            )
+            st_t = StagedAdjacency(
+                window=st["window"].reshape(st["window"].shape[-2:]),
+                deg=st["deg"].reshape(-1),
+                row_of=st["row_of"].reshape(-1),
+                pre_ids=st["pre_ids"].reshape(st["pre_ids"].shape[-2:]),
+                pre_mask=st["pre_mask"].reshape(st["pre_mask"].shape[-2:]),
+                is_pre=st["is_pre"].reshape(-1),
+                count=0, overflow=0,
+            )
+            kk = jax.random.fold_in(key_, jax.lax.axis_index(ax))
+            nb = sample_staged_hop(hot_graph, lrows.reshape(-1), st_t, k, kk)
+            if last and not self.dedup_last:
+                blk = _no_dedup_block(seeds_, mask_, nb)
+            else:
+                rl = _relabel(
+                    gs.num_nodes, seeds_, nb.ids, nb.mask, self.relabel_mode
+                )
+                blk = Block(
+                    seeds=seeds_, seed_mask=mask_, frontier=rl.frontier,
+                    frontier_mask=rl.frontier_mask,
+                    num_frontier=rl.num_frontier,
+                    neigh_slots=rl.neigh_slots, neigh_mask=nb.mask,
+                )
+            return self._blocks_to_arrays((blk,))[0]
+
+        blk_spec = {
+            name: P(ax) for name in (
+                "seeds", "seed_mask", "frontier", "frontier_mask",
+                "num_frontier", "neigh_slots", "neigh_mask",
+            )
+        }
+        staged_specs = {
+            name: (P(ax, None, None) if staged[name].ndim == 3 else P(ax, None))
+            for name in staged
+        }
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(ax, None), P(ax, None), P(ax), P(ax), P(ax, None),
+                staged_specs, P(),
+            ),
+            out_specs=blk_spec,
+            check_vma=False,
+        )(*gargs, seeds, seed_mask, local_rows, staged, key)
+
+    def _sample_host_struct(self, seeds_np, mask_np, key, rng):
+        """All hops with host-resident structure.  Hop boundaries are host
+        round-trips by necessity (the next hop's seeds decide what
+        adjacency to stage) — the same serialization as the reference's
+        per-layer nnz readbacks.  Returns (block_arrs, stats,
+        frontier_np [n, L], fmask_np [n, L])."""
+        n = self.gstore.num_shards
+        seeds_h = np.asarray(seeds_np).reshape(n, -1)
+        mask_h = np.asarray(mask_np).reshape(n, -1)
+        keys = jax.random.split(key, len(self.fan_out))
+        blocks = []
+        stats = {"struct_miss": 0, "struct_overflow": 0, "struct_remote": 0}
+        for i, k in enumerate(reversed(list(self.fan_out))):
+            local_rows, staged, st = self.gstore.plan_hop(
+                seeds_h, mask_h, k, rng
+            )
+            for name in stats:
+                stats[name] += st[name]
+            last = i == len(self.fan_out) - 1
+            arr = self._hop_phase(
+                self.gstore.shard_args(),
+                jnp.asarray(seeds_h.reshape(-1)),
+                jnp.asarray(mask_h.reshape(-1)),
+                local_rows, staged, k, last, keys[i],
+            )
+            blocks.append(arr)
+            if not last:
+                seeds_h = np.asarray(arr["frontier"]).reshape(n, -1)
+                mask_h = np.asarray(arr["frontier_mask"]).reshape(n, -1)
+        frontier_np = np.asarray(blocks[-1]["frontier"]).reshape(n, -1)
+        fmask_np = np.asarray(blocks[-1]["frontier_mask"]).reshape(n, -1)
+        return tuple(blocks), stats, frontier_np, fmask_np
 
     # ---- phase 2: compute (one shard_map) -------------------------------------
 
@@ -408,27 +507,33 @@ class DistHostTrainer:
         n = self.store.num_shards
         pend = None
         metrics = []
+        rng = np.random.default_rng(np.uint32(jax.random.key_data(key)[-1]))
         for i, (seeds_np, mask_np) in enumerate(batches):
             seeds_np, mask_np = np.asarray(seeds_np), np.asarray(mask_np)
             k_i = jax.random.fold_in(key, i)
-            block_arrs, samp_stats = self.sample_phase(
-                graph, jnp.asarray(seeds_np), jnp.asarray(mask_np), k_i
-            )
-            inp = block_arrs[-1]
-            frontier_np = np.asarray(inp["frontier"]).reshape(n, -1)
-            fmask_np = np.asarray(inp["frontier_mask"]).reshape(n, -1)
+            if self.gstore is not None:
+                block_arrs, host_stats, frontier_np, fmask_np = (
+                    self._sample_host_struct(seeds_np, mask_np, k_i, rng)
+                )
+            else:
+                block_arrs, samp_stats = self.sample_phase(
+                    graph, jnp.asarray(seeds_np), jnp.asarray(mask_np), k_i
+                )
+                inp = block_arrs[-1]
+                frontier_np = np.asarray(inp["frontier"]).reshape(n, -1)
+                fmask_np = np.asarray(inp["frontier_mask"]).reshape(n, -1)
+                host_stats = {
+                    "sampler_overflow": int(np.asarray(
+                        samp_stats["sampler_overflow"])[0]),
+                }
             if pend is not None:
                 args, stats_prev = pend
                 state, m = self.compute_phase(state, *args)
                 metrics.append({**m, **stats_prev})
             staged = self.store.stage(frontier_np, fmask_np)
             lab = labels_np[np.where(mask_np, seeds_np, 0)].astype(np.int32)
-            host_stats = {
-                "feat_miss": staged.count,
-                "feat_overflow": staged.overflow,
-                "sampler_overflow": int(np.asarray(
-                    samp_stats["sampler_overflow"])[0]),
-            }
+            host_stats["feat_miss"] = staged.count
+            host_stats["feat_overflow"] = staged.overflow
             pend = (
                 (
                     block_arrs, staged.rows, staged.slots,

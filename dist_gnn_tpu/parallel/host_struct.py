@@ -1,0 +1,169 @@
+"""Distributed HOST-RESIDENT graph structure: topology bigger than HBM,
+sharded over the mesh.
+
+Completes the three-tier data plane for STRUCTURE the way
+``parallel/host_dist.py`` does for features.  In the reference, the full
+CSC lives in pinned host memory on every node and sampling kernels read
+miss rows over UVA (``src/common/pin_memory.cc:7-12``,
+``src/sampling/cuda/rowwise_sampling_p2p.cu:180-223``: per-row
+local/peer/host routing).  TPU redesign:
+
+  tier 1  per-chip HBM hot sub-CSR — heat-ranked rows, sampled in-jit by
+          the standard Feistel sampler (``host_tier.sample_staged_hop``);
+  tier 2/3 host base — the CSC stays in host RAM, node-range partitioned
+          across hosts; each hop's miss rows have their adjacency staged
+          (dense [M, deg_cap] windows; hubs host-presampled to [k] ids)
+          and shipped to the requesting chip with an async device_put.
+
+Hop boundaries are host round-trips by necessity (the next hop's seeds
+decide what to stage) — the same serialization as the reference's
+per-layer nnz readbacks.  Rows staged from a *different* host's node range
+would ride DCN in a real multi-host job; they are counted per batch in the
+``struct_remote`` metric (the single-process emulation holds one CSC copy,
+exactly like ``DistHostFeatureStore.base``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dist_gnn_tpu.graph import INVALID_ID
+from dist_gnn_tpu.host_tier import plan_hop_arrays
+
+
+class DistHostCSCStore:
+    """Per-chip HBM hot sub-CSRs + host-RAM CSC base, mesh-sharded.
+
+    ``hot_ids`` is the [n, C] per-chip structure cache plan (selfish or
+    selfless, cache/builder.py).  ``miss_budget`` is the per-chip per-hop
+    staged-row capacity (overflow is dropped-and-counted, never silent).
+    """
+
+    def __init__(
+        self,
+        hg,  # HostGraph — stays host-resident
+        mesh,
+        hot_ids: np.ndarray,  # [n, C] int32, INVALID padded
+        miss_budget: int,
+        deg_cap: int = 128,
+        axis_name: str = "data",
+    ):
+        from dist_gnn_tpu.utils import native
+
+        n = mesh.shape[axis_name]
+        assert hot_ids.shape[0] == n
+        self.hg = hg
+        self.mesh, self.axis_name = mesh, axis_name
+        self.num_shards = n
+        self.num_nodes = int(hg.num_nodes)
+        self.indptr64 = np.asarray(hg.indptr, dtype=np.int64)
+        self.miss_budget = int(miss_budget)
+        self.deg_cap = int(deg_cap)
+        # node-range ownership (whose host RAM holds the row) for DCN accounting
+        self.rows_per_part = -(-self.num_nodes // n)
+
+        self.sorted_np: List[np.ndarray] = []
+        subs: List[Tuple[np.ndarray, np.ndarray]] = []
+        for c in range(n):
+            ids = np.asarray(hot_ids[c], dtype=np.int32)
+            ids = np.unique(ids[ids != INVALID_ID])
+            self.sorted_np.append(ids)
+            sp, si, _ = native.extract_subcsc(ids, self.indptr64, hg.indices)
+            subs.append((sp.astype(np.int64), si.astype(np.int32)))
+
+        C = max((len(s) for s in self.sorted_np), default=0)
+        E = max((len(si) for _, si in subs), default=0)
+        C, E = max(C, 1), max(E, 1)
+        indptr = np.zeros((n, C + 1), np.int32)
+        indices = np.zeros((n, E), np.int32)
+        max_deg = 1
+        for c, (sp, si) in enumerate(subs):
+            # pad the indptr tail with the last offset → degree-0 rows
+            indptr[c, : len(sp)] = sp
+            indptr[c, len(sp) :] = sp[-1] if len(sp) else 0
+            indices[c, : len(si)] = si
+            if len(sp) > 1:
+                max_deg = max(max_deg, int(np.diff(sp).max()))
+        self.hot_num_nodes = C
+        self.hot_num_edges = E
+        self.hot_max_degree = max_deg
+        ax = axis_name
+        self.hot_indptr = jax.device_put(
+            indptr, NamedSharding(mesh, P(ax, None))
+        )
+        self.hot_indices = jax.device_put(
+            indices, NamedSharding(mesh, P(ax, None))
+        )
+
+    # ---- device side -----------------------------------------------------
+
+    def shard_args(self):
+        return (self.hot_indptr, self.hot_indices)
+
+    def shard_specs(self):
+        ax = self.axis_name
+        return (P(ax, None), P(ax, None))
+
+    # ---- host side ---------------------------------------------------------
+
+    def hit_rate(self, seeds_np: np.ndarray) -> float:
+        """Union probe over the [n, L] per-chip seed matrix (diagnostics)."""
+        hits = total = 0
+        for c in range(self.num_shards):
+            s = self.sorted_np[c]
+            ids = seeds_np[c]
+            total += len(ids)
+            if len(s):
+                pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+                hits += int(np.sum(s[pos] == ids))
+        return hits / max(total, 1)
+
+    def plan_hop(
+        self,
+        seeds_np: np.ndarray,  # [n, L]
+        mask_np: np.ndarray,  # [n, L]
+        k: int,
+        rng,
+    ):
+        """Probe each chip's hot tier, stage its miss adjacency from the
+        host CSC.  Returns (local_rows [n, L] device, staged dict of
+        device arrays with leading mesh axis, stats dict)."""
+        n, L = seeds_np.shape
+        locs = np.zeros((n, L), np.int32)
+        stk: Dict[str, list] = {}
+        count = overflow = remote = 0
+        for c in range(n):
+            lr, arrs, m, ovf = plan_hop_arrays(
+                self.indptr64, self.hg.indices, self.sorted_np[c],
+                self.miss_budget, self.deg_cap,
+                seeds_np[c], mask_np[c], k, rng,
+            )
+            locs[c] = lr
+            for name, a in arrs.items():
+                stk.setdefault(name, []).append(a)
+            count += m
+            overflow += ovf
+            # rows staged from another host's node range would ride DCN
+            staged_rows = arrs["row_of"][arrs["row_of"] < L]
+            if len(staged_rows):
+                owners = seeds_np[c][staged_rows] // self.rows_per_part
+                remote += int(np.sum(owners != c))
+        ax = self.axis_name
+        sh2 = NamedSharding(self.mesh, P(ax, None))
+        sh3 = NamedSharding(self.mesh, P(ax, None, None))
+        staged = {}
+        for name, lst in stk.items():
+            arr = np.stack(lst)
+            staged[name] = jax.device_put(arr, sh3 if arr.ndim == 3 else sh2)
+        local_rows = jax.device_put(locs, sh2)
+        stats = {
+            "struct_miss": count,
+            "struct_overflow": overflow,
+            "struct_remote": remote,
+        }
+        return local_rows, staged, stats

@@ -55,6 +55,9 @@ def parse_args():
                     help="fraction of nodes in the HBM hot tier (tier!=hbm)")
     ap.add_argument("--miss-budget", type=int, default=0,
                     help="staged miss rows per batch (0 = auto)")
+    ap.add_argument("--host-struct", action="store_true",
+                    help="tier!=hbm: keep the graph TOPOLOGY host-resident "
+                         "too (HBM hot sub-CSR + per-hop staged adjacency)")
     ap.add_argument("--checkpoint", default=None, help="save path prefix")
     ap.add_argument("--resume", default=None, help="load path prefix")
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
@@ -95,14 +98,23 @@ def run_host_tier(args, arrays, meta, hg, model, fan_out, log):
     miss_budget = args.miss_budget or frontier_cap
 
     if args.tier == "host":
-        from dist_gnn_tpu.host_tier import HostFeatureStore
+        from dist_gnn_tpu.host_tier import HostCSCStore, HostFeatureStore
         from dist_gnn_tpu.training.pipeline import HostTierTrainer
 
         store = HostFeatureStore(
             feats, order[:C_total].astype(np.int32), miss_budget=miss_budget
         )
+        gstore = (
+            HostCSCStore(
+                hg, order[:C_total].astype(np.int32),
+                miss_budget=miss_budget,
+            )
+            if args.host_struct
+            else None
+        )
         trainer = HostTierTrainer(
-            model=model, fan_out=fan_out, store=store, dedup_last=False
+            model=model, fan_out=fan_out, store=store, gstore=gstore,
+            dedup_last=False,
         )
         world_batch = args.batch_size
     else:
@@ -119,8 +131,16 @@ def run_host_tier(args, arrays, meta, hg, model, fan_out, log):
         store = DistHostFeatureStore(
             feats, mesh, hot, miss_budget=miss_budget
         )
+        gstore = None
+        if args.host_struct:
+            from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+            gstore = DistHostCSCStore(
+                hg, mesh, hot, miss_budget=miss_budget
+            )
         trainer = DistHostTrainer(
-            model=model, fan_out=fan_out, store=store, dedup_last=False
+            model=model, fan_out=fan_out, store=store, gstore=gstore,
+            dedup_last=False,
         )
         world_batch = max(n, args.batch_size // n * n)
 

@@ -127,7 +127,7 @@ def main():
     def fwd_step(c):
         logits = model.apply(
             state0.params, tuple(reversed(blocks)),
-            feats_fixed + (c & 0).astype(feats_fixed.dtype),
+            feats_fixed + (c * 0).astype(feats_fixed.dtype),
             train=False, contiguous_first=True,
         )
         return jnp.sum(logits.astype(jnp.float32))
@@ -149,6 +149,83 @@ def main():
         return st2
 
     bench("FULL train_step", full_step, state_f)
+
+    # full step with an optimization barrier between the gather and the
+    # model (hypothesis: XLA fuses the 425k-row gather into the masked-mean
+    # reduction, degrading it to per-element gathers)
+    import optax
+
+    @jax.jit
+    def full_barrier(st):
+        k_sample, k_drop = jax.random.split(jax.random.fold_in(jax.random.key(7), st.step))
+        blks, _ = sample_blocks(
+            graph, seeds, mask, fan_out, False, k_sample, **SAMP_KW
+        )
+        inp2 = blks[-1]
+        safe2 = jnp.where(inp2.frontier_mask, inp2.frontier, 0)
+        feats2 = jnp.where(inp2.frontier_mask[:, None], features[safe2], 0)
+        feats2 = jax.lax.optimization_barrier(feats2)
+        batch_labels2 = jnp.where(mask, labels[jnp.where(mask, seeds, 0)], 0)
+        (loss, acc), grads = jax.value_and_grad(trainer_full._loss_fn, has_aux=True)(
+            st.params, blks, feats2, batch_labels2, mask, k_drop
+        )
+        updates, opt_state = trainer_full.optimizer.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return type(st)(params=params, opt_state=opt_state, step=st.step + 1)
+
+    bench("FULL step + gather barrier", full_barrier, state_f)
+
+    # barrier after sampling too (isolate sampler-side fusion effects)
+    @jax.jit
+    def full_barrier2(st):
+        k_sample, k_drop = jax.random.split(jax.random.fold_in(jax.random.key(7), st.step))
+        blks, _ = sample_blocks(
+            graph, seeds, mask, fan_out, False, k_sample, **SAMP_KW
+        )
+        blks = jax.lax.optimization_barrier(blks)
+        inp2 = blks[-1]
+        safe2 = jnp.where(inp2.frontier_mask, inp2.frontier, 0)
+        feats2 = jnp.where(inp2.frontier_mask[:, None], features[safe2], 0)
+        feats2 = jax.lax.optimization_barrier(feats2)
+        batch_labels2 = jnp.where(mask, labels[jnp.where(mask, seeds, 0)], 0)
+        (loss, acc), grads = jax.value_and_grad(trainer_full._loss_fn, has_aux=True)(
+            st.params, blks, feats2, batch_labels2, mask, k_drop
+        )
+        updates, opt_state = trainer_full.optimizer.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return type(st)(params=params, opt_state=opt_state, step=st.step + 1)
+
+    bench("FULL step + both barriers", full_barrier2, state_f)
+
+    # split-phase: three separate jits chained at host level
+    samp_jit = jax.jit(lambda st_step: sample_blocks(
+        graph, seeds, mask, fan_out, False,
+        jax.random.split(jax.random.fold_in(jax.random.key(7), st_step))[0],
+        **SAMP_KW,
+    )[0])
+
+    @jax.jit
+    def gath_jit(blks):
+        inp2 = blks[-1]
+        safe2 = jnp.where(inp2.frontier_mask, inp2.frontier, 0)
+        return jnp.where(inp2.frontier_mask[:, None], features[safe2], 0)
+
+    @jax.jit
+    def model_jit(st, blks, feats2):
+        batch_labels2 = jnp.where(mask, labels[jnp.where(mask, seeds, 0)], 0)
+        (loss, acc), grads = jax.value_and_grad(trainer_full._loss_fn, has_aux=True)(
+            st.params, blks, feats2, batch_labels2, mask, jax.random.key(5)
+        )
+        updates, opt_state = trainer_full.optimizer.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return type(st)(params=params, opt_state=opt_state, step=st.step + 1)
+
+    def split_step(st):
+        blks = samp_jit(st.step)
+        f = gath_jit(blks)
+        return model_jit(st, blks, f)
+
+    bench("split-phase (3 jits)", split_step, state_f)
 
     # ---- per-hop sampling sub-phases ----
     from dist_gnn_tpu.ops.sampling import sample_uniform

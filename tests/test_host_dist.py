@@ -129,6 +129,137 @@ def test_dist_host_trainer_learns(mesh):
     assert all(m["feat_overflow"] == 0 for m in metrics)
 
 
+def _adj_sets(arrays):
+    indptr, indices = arrays["indptr"], arrays["indices"]
+    return [
+        set(indices[indptr[v] : indptr[v + 1]].tolist())
+        for v in range(len(indptr) - 1)
+    ]
+
+
+def test_dist_host_struct_sampled_neighbors_are_real(mesh):
+    """Host-resident STRUCTURE over the mesh: every sampled neighbor must
+    be a true neighbor of its seed, whichever tier served it (hot sub-CSR,
+    staged window, or host-presampled hub), and the seeds-first frontier
+    invariant must hold per chip."""
+    from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=900, avg_degree=9, feature_dim=8, num_classes=5,
+        train_frac=0.5, seed=7,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    rng = np.random.default_rng(2)
+    hot = rng.permutation(900)[: n * 60].reshape(n, 60).astype(np.int32)
+    gstore = DistHostCSCStore(
+        hg, mesh, hot, miss_budget=1024, deg_cap=6  # < max degree → hubs
+    )
+    feats_hot = rng.permutation(900)[: n * 80].reshape(n, 80).astype(np.int32)
+    store = DistHostFeatureStore(
+        arrays["features"], mesh, feats_hot, miss_budget=4096
+    )
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistHostTrainer(
+        model=model, fan_out=(4, 3), store=store, gstore=gstore,
+        dedup_last=False,
+    )
+
+    B = 16
+    seeds = arrays["train_idx"][: n * B].astype(np.int32)
+    mask = np.ones(n * B, bool)
+    blocks, stats, frontier_np, fmask_np = trainer._sample_host_struct(
+        seeds, mask, jax.random.key(9), np.random.default_rng(3)
+    )
+    assert stats["struct_overflow"] == 0
+    assert stats["struct_miss"] > 0  # partial hot coverage → staging happened
+    assert stats["struct_remote"] > 0  # some staged rows cross node ranges
+
+    adj = _adj_sets(arrays)
+    for b in blocks:
+        s = np.asarray(b["seeds"]).reshape(n, -1)
+        sm = np.asarray(b["seed_mask"]).reshape(n, -1)
+        fr = np.asarray(b["frontier"]).reshape(n, -1)
+        fm = np.asarray(b["frontier_mask"]).reshape(n, -1)
+        slots = np.asarray(b["neigh_slots"])
+        nm = np.asarray(b["neigh_mask"])
+        L = s.shape[1]
+        slots = slots.reshape(n, L, -1)
+        nm = nm.reshape(n, L, -1)
+        for c in range(n):
+            # seeds-first positional invariant
+            np.testing.assert_array_equal(fr[c, :L][sm[c]], s[c][sm[c]])
+            rows, cols = np.nonzero(nm[c])
+            nb_ids = fr[c][slots[c][rows, cols]]
+            assert fm[c][slots[c][rows, cols]].all()
+            for r, v in zip(rows, nb_ids):
+                assert int(v) in adj[int(s[c, r])], (
+                    f"chip {c}: {v} not a neighbor of {s[c, r]}"
+                )
+
+
+def test_dist_host_struct_full_hot_means_no_staging(mesh):
+    """With every node hot, the staged tier must stay idle."""
+    from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+    arrays, _ = make_synthetic_dataset(
+        num_nodes=300, avg_degree=6, feature_dim=4, num_classes=3, seed=8,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    all_hot = np.tile(np.arange(300, dtype=np.int32), (n, 1))
+    gstore = DistHostCSCStore(hg, mesh, all_hot, miss_budget=64)
+    seeds = np.tile(arrays["train_idx"][:16].astype(np.int32), (n, 1))
+    mask = np.ones_like(seeds, bool)
+    _, _, stats = gstore.plan_hop(seeds, mask, 4, np.random.default_rng(0))
+    assert stats["struct_miss"] == 0
+    assert stats["struct_remote"] == 0
+
+
+def test_dist_host_struct_trainer_learns(mesh):
+    """Full bigger-than-HBM data plane: structure AND features host
+    resident, per-hop staged sampling + three-tier feature assembly; loss
+    decreases over batches."""
+    from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=2500, avg_degree=10, feature_dim=16, num_classes=8,
+        train_frac=0.4, seed=11,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    rng = np.random.default_rng(4)
+    s_hot = rng.permutation(2500)[: n * 120].reshape(n, 120).astype(np.int32)
+    f_hot = rng.permutation(2500)[: n * 150].reshape(n, 150).astype(np.int32)
+    gstore = DistHostCSCStore(hg, mesh, s_hot, miss_budget=2048, deg_cap=32)
+    store = DistHostFeatureStore(
+        arrays["features"], mesh, f_hot, miss_budget=2048
+    )
+    model = SAGE(meta["feature_dim"], 32, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistHostTrainer(
+        model=model, fan_out=(5, 5), store=store, gstore=gstore,
+        dedup_last=False,
+    )
+    state = trainer.init_state(jax.random.key(0))
+
+    B = 32
+    train = arrays["train_idx"]
+    batches = []
+    for i in range(10):
+        s = train[(i * n * B) % (len(train) - n * B) :][: n * B]
+        batches.append((s.astype(np.int32), np.ones(n * B, bool)))
+    state, metrics = trainer.train_batches(
+        state, None, arrays["labels"], batches, jax.random.key(1)
+    )
+    assert len(metrics) == 10
+    losses = [float(m["loss"]) for m in metrics]
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert any(m["struct_miss"] > 0 for m in metrics)
+    assert all(m["struct_overflow"] == 0 for m in metrics)
+    assert any(m["feat_miss"] > 0 for m in metrics)
+
+
 def test_dist_host_matches_all_hbm_reference(mesh):
     """One compute step over the host-base store must produce the same
     loss as a single-device step on identical blocks with all features in
