@@ -50,6 +50,10 @@ class DistTrainer:
     dedup_last: bool = True  # False = dedup-free final hop (faster, same math)
     sampler_window: Optional[int] = None  # windowed edge fetch (owner side)
     sampler_big_budget: Optional[int] = None
+    # hops with fewer sampled slots than this (static, per chip) use the
+    # exact elementwise fetch — small hops are latency-bound on the
+    # windowed op chain (see sampler.sample_blocks docstring)
+    window_min_slots: int = 65536
     relabel_mode: str = "auto"  # 'sort' | 'dense' | 'auto' (see sampler._relabel)
     frontier_caps: Optional[Tuple[int, ...]] = None  # per-hop static budgets
     # per-peer request-budget slack for the SAMPLING exchange (seeds can
@@ -115,6 +119,11 @@ class DistTrainer:
         keys = jax.random.split(key, len(self.fan_out))
         n_shards = self.store.num_shards
         for i, k in enumerate(reversed(list(self.fan_out))):
+            hop_window = (
+                self.sampler_window
+                if seeds.shape[0] * k >= self.window_min_slots
+                else None
+            )
             nb, ovf = sample_neighbors_cached(
                 self.sgraph,
                 sgraph_blks,
@@ -126,8 +135,10 @@ class DistTrainer:
                 budget=request_budget(
                     seeds.shape[0], n_shards, self.sampler_budget_slack
                 ),
-                window=self.sampler_window,
-                big_row_budget=self.sampler_big_budget,
+                window=hop_window,
+                big_row_budget=(
+                    self.sampler_big_budget if hop_window is not None else None
+                ),
             )
             samp_ovf = samp_ovf + ovf.astype(jnp.int32)
             if not self.dedup_last and i == len(self.fan_out) - 1:

@@ -125,7 +125,7 @@ def _no_dedup_block(seeds, seed_mask, nb) -> Block:
     jax.jit,
     static_argnames=(
         "fan_out", "replace", "relabel_mode", "frontier_caps", "dedup_last",
-        "window", "big_row_budget",
+        "window", "big_row_budget", "window_min_slots",
     ),
 )
 def sample_blocks(
@@ -140,6 +140,7 @@ def sample_blocks(
     dedup_last: bool = True,
     window: Optional[int] = None,
     big_row_budget: Optional[int] = None,
+    window_min_slots: int = 65536,
 ):
     """Sample all layers; returns ``(blocks, stats)``.
 
@@ -159,15 +160,26 @@ def sample_blocks(
     ``S*(k+1)`` — the padding-blowup fix for deep fanouts.  Dropped
     frontier entries are masked (never silently wrong) and sized so a
     p99-of-observed budget loses ~nothing.
+
+    ``window_min_slots``: hops with fewer than this many sampled slots
+    (static ``B*k``) skip the windowed fast path and use the exact
+    elementwise edge gather — small hops are latency-bound on the windowed
+    path's op chain (measured v5e: hop [512, 5] windowed 0.76 ms vs
+    ~0.05 ms elementwise), while big hops are throughput-bound and the
+    window wins 3x.  Both paths are exact; this only picks the faster one.
     """
     blocks = []
     samp_ovf = jnp.int32(0)
     front_ovf = jnp.int32(0)
     keys = jax.random.split(key, len(fan_out))
     for i, k in enumerate(reversed(list(fan_out))):
+        hop_window = (
+            window if seeds.shape[0] * k >= window_min_slots else None
+        )
         nb = sample_neighbors(
             graph, seeds, k, replace, keys[i],
-            window=window, big_row_budget=big_row_budget,
+            window=hop_window,
+            big_row_budget=big_row_budget if hop_window is not None else None,
         )
         samp_ovf = samp_ovf + jnp.asarray(nb.overflow, jnp.int32)
         if not dedup_last and i == len(fan_out) - 1:
@@ -229,6 +241,7 @@ class NeighborSampler:
     dedup_last: bool = True
     window: Optional[int] = None
     big_row_budget: Optional[int] = None
+    window_min_slots: int = 65536
 
     def sample(self, seeds, seed_mask, key):
         """Returns ``(blocks, stats)`` — see :func:`sample_blocks`."""
@@ -244,4 +257,5 @@ class NeighborSampler:
             dedup_last=self.dedup_last,
             window=self.window,
             big_row_budget=self.big_row_budget,
+            window_min_slots=self.window_min_slots,
         )

@@ -50,6 +50,10 @@ class Trainer:
     dedup_last: bool = True  # False = no-dedup final hop (faster, same math)
     sampler_window: Any = None  # windowed-gather fast path (ops/sampling.py)
     sampler_big_budget: Any = None
+    # hops with fewer than this many sampled slots (static B*k) use the
+    # exact elementwise gather instead of the window — small hops are
+    # latency-bound on the windowed op chain (see sample_blocks docstring)
+    window_min_slots: int = 65536
     # Multi-row Pallas feature gather (ops/gather_pallas.gather_rows).
     # Honest measurement (scripts/bench_gather2.py, full-output consumption):
     # every Pallas variant LOSES to XLA's take (~92M rows/s on v5e) — grid
@@ -113,6 +117,7 @@ class Trainer:
             dedup_last=self.dedup_last,
             window=self.sampler_window,
             big_row_budget=self.sampler_big_budget,
+            window_min_slots=self.window_min_slots,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
@@ -150,6 +155,7 @@ class Trainer:
             dedup_last=self.dedup_last,
             window=self.sampler_window,
             big_row_budget=self.sampler_big_budget,
+            window_min_slots=self.window_min_slots,
         )
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
