@@ -52,7 +52,8 @@ def main():
         seed=0,
     )
     hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
-    graph = hg.to_device()
+    # indptr_pairs: one-row-gather extents (+8 B/node HBM, ~0.5 ms/step)
+    graph = hg.to_device(with_indptr_pairs=True)
     features = jnp.asarray(arrays["features"])
     labels = jnp.asarray(arrays["labels"])
 
@@ -100,19 +101,32 @@ def main():
     for s, mk in batches:
         jax.block_until_ready((s, mk))
 
+    # U=2 fused steps (train_step_multi): identical math to 2 sequential
+    # Adam steps, but one program — XLA overlaps sub-step 2's sampling
+    # compute with sub-step 1's feature-gather DMA (probe_step11/12:
+    # 12.2 -> ~10.2 ms/step; U=3/4 measured slightly worse).
+    UNROLL = 2
+    pair_seeds = [
+        (
+            jnp.stack([batches[i][0], batches[i + 1][0]]),
+            jnp.stack([batches[i][1], batches[i + 1][1]]),
+        )
+        for i in range(0, 8, UNROLL)
+    ]
+    jax.block_until_ready(pair_seeds)
     step_counter = {"i": 0}
 
     def one_step(state):
-        s, mk = batches[step_counter["i"] % len(batches)]
+        sU, mkU = pair_seeds[step_counter["i"] % len(pair_seeds)]
         step_counter["i"] += 1
-        state, m = trainer.train_step(
-            state, graph, features, labels, s, mk, jax.random.key(7)
+        state, m = trainer.train_step_multi(
+            state, graph, features, labels, sU, mkU, jax.random.key(7)
         )
         return state
 
     # tunnel-RTT-corrected per-step time (block_until_ready lies on the
     # tunneled backend — see utils/timing.py)
-    dt_step = measure_chain(one_step, state, n_lo=4, n_hi=16, reps=3)
+    dt_step = measure_chain(one_step, state, n_lo=4, n_hi=16, reps=3) / UNROLL
 
     # one more step for final metrics
     state, m = trainer.train_step(
@@ -158,14 +172,14 @@ def main():
         ctr = {"i": 0}
 
         def one(s_):
-            s, mk = batches[ctr["i"] % len(batches)]
+            sU, mkU = pair_seeds[ctr["i"] % len(pair_seeds)]
             ctr["i"] += 1
-            s2, _ = trainer_x.train_step(
-                s_, graph_x, feats_x, labels, s, mk, jax.random.key(7)
+            s2, _ = trainer_x.train_step_multi(
+                s_, graph_x, feats_x, labels, sU, mkU, jax.random.key(7)
             )
             return s2
 
-        dt_x = measure_chain(one, state_x, n_lo=3, n_hi=9, reps=2)
+        dt_x = measure_chain(one, state_x, n_lo=3, n_hi=9, reps=2) / UNROLL
         blocks_x, _ = sample_blocks(
             graph_x, seeds, mask, fan_out, False, jax.random.key(7),
             dedup_last=False, **samp_kwargs,
@@ -184,7 +198,7 @@ def main():
             indptr=arrays["indptr"], indices=arrays["indices"],
             probs=add_random_probs(int(meta["num_edges"])),
         )
-        graph_b = hg_b.to_device(with_alias=True)
+        graph_b = hg_b.to_device(with_alias=True, with_indptr_pairs=True)
         trainer_b = Trainer(
             model=model, fan_out=fan_out, dedup_last=False,
             frontier_caps=(3072, 26624, 10**9),

@@ -125,12 +125,26 @@ class HostGraph:
 
         return native.build_alias(self.indptr, self.probs)
 
-    def to_device(self, sharding=None, with_alias: bool = False) -> "Graph":
+    def to_device(
+        self,
+        sharding=None,
+        with_alias: bool = False,
+        with_indptr_pairs: bool = False,
+    ) -> "Graph":
         put = lambda x: jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
         alias_prob = alias_idx = None
         if with_alias and self.probs is not None:
             ap, ai = self.build_alias_tables()
             alias_prob, alias_idx = put(ap), put(ai)
+        indptr_pairs = None
+        if with_indptr_pairs:
+            # [N, 2] (start, end) rows: one row gather per seed replaces two
+            # elementwise indptr gathers in the samplers (~2x extent cost at
+            # large frontiers — see ops/sampling._row_extents).  Opt-in:
+            # costs 8 B/node of extra HBM.
+            indptr_pairs = put(
+                np.stack([self.indptr[:-1], self.indptr[1:]], axis=1)
+            )
         return Graph(
             indptr=put(self.indptr),
             indices=put(self.indices.astype(np.int32)),
@@ -140,6 +154,7 @@ class HostGraph:
             max_degree=self.max_degree,
             alias_prob=alias_prob,
             alias_idx=alias_idx,
+            indptr_pairs=indptr_pairs,
         )
 
 
@@ -158,6 +173,9 @@ class Graph:
     # HostGraph.build_alias_tables)
     alias_prob: Optional[jnp.ndarray] = None
     alias_idx: Optional[jnp.ndarray] = None
+    # [N, 2] (start, end) rows for one-row-gather extents (optional, see
+    # HostGraph.to_device(with_indptr_pairs=True))
+    indptr_pairs: Optional[jnp.ndarray] = None
 
     @property
     def has_probs(self) -> bool:

@@ -49,8 +49,17 @@ class SampledNeighbors(NamedTuple):
 def _row_extents(graph: Graph, seeds: jnp.ndarray):
     valid = seeds != INVALID_ID
     safe = jnp.where(valid, seeds, 0)
-    start = graph.indptr[safe]
-    deg = (graph.indptr[safe + 1] - start).astype(jnp.int32)
+    if graph.indptr_pairs is not None:
+        # one [B]-row gather of (start, end) pairs instead of two
+        # elementwise indptr gathers: row gathers run ~108M rows/s on v5e
+        # vs ~75M elements/s, so this halves-and-then-some the extent cost
+        # at large B (probe_step15/16).
+        pair = graph.indptr_pairs[safe]  # [B, 2]
+        start = pair[:, 0]
+        deg = (pair[:, 1] - start).astype(jnp.int32)
+    else:
+        start = graph.indptr[safe]
+        deg = (graph.indptr[safe + 1] - start).astype(jnp.int32)
     deg = jnp.where(valid, deg, 0)
     return start, deg, valid
 
@@ -100,25 +109,27 @@ def _window_select(graph: Graph, start, sel, mask, W: int):
 def _compact_rows(start, sel, mask, rows_flag, R: int):
     """Compact flagged rows' (start, sel, mask) into a static budget R.
     Returns (big_start [R], big_sel [R, k], big_mask [R, k], inv_row [R],
-    in_budget [B])."""
+    in_budget [B]).
+
+    Gather formulation: only the scalar row index is scattered (B int32
+    elements); the [R, k] payloads are then GATHERED through it.  The
+    previous scatter formulation pushed two [B, k]-row scatters (0.7 ms at
+    B=26624 on v5e) where this costs one cheap element scatter + two
+    [R]-row gathers (R << B)."""
     B, k = sel.shape
     rank = jnp.cumsum(rows_flag.astype(jnp.int32)) - 1
     in_budget = rows_flag & (rank < R)
     slot = jnp.where(in_budget, rank, R)
-    big_start = (
-        jnp.zeros((R + 1,), start.dtype).at[slot].set(start, mode="drop")[:R]
-    )
-    big_sel = (
-        jnp.zeros((R + 1, k), sel.dtype).at[slot].set(sel, mode="drop")[:R]
-    )
-    big_mask = (
-        jnp.zeros((R + 1, k), bool).at[slot].set(mask, mode="drop")[:R]
-    )
     inv_row = (
         jnp.full((R + 1,), B, jnp.int32)
         .at[slot]
         .set(jnp.arange(B, dtype=jnp.int32), mode="drop")[:R]
     )
+    filled = inv_row < B  # compact slots actually assigned a source row
+    src = jnp.where(filled, inv_row, 0)
+    big_start = jnp.where(filled, start[src], 0)
+    big_sel = jnp.where(filled[:, None], sel[src], 0)
+    big_mask = mask[src] & filled[:, None]
     return big_start, big_sel, big_mask, inv_row, in_budget
 
 

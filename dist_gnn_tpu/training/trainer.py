@@ -59,6 +59,13 @@ class Trainer:
     # every Pallas variant LOSES to XLA's take (~92M rows/s on v5e) — grid
     # blocks 25M, explicit row DMAs 62M. Kept for study; leave 0 (= XLA take).
     gather_group: int = 0
+    # Zero out gathered feature rows of invalid frontier slots.  Every
+    # consumer (SAGE gather_mean / contiguous mean, GAT masked softmax,
+    # the loss' seed_mask) already masks those positions, so the zeroing
+    # is redundant — invalid slots gather features[0], a finite real row
+    # that never reaches an unmasked path.  Kept as a flag for debugging;
+    # False saves a full [cap, F] read+write pass (~0.2 ms at bench shapes).
+    zero_invalid_rows: bool = False
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -122,7 +129,9 @@ class Trainer:
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
         safe = jnp.where(in_mask, input_nodes, 0)
-        feats = jnp.where(in_mask[:, None], self._gather_rows(features, safe), 0)
+        feats = self._gather_rows(features, safe)
+        if self.zero_invalid_rows:
+            feats = jnp.where(in_mask[:, None], feats, 0)
         batch_labels = jnp.where(seed_mask, labels[jnp.where(seed_mask, seeds, 0)], 0)
 
         (loss, acc), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
@@ -136,6 +145,42 @@ class Trainer:
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             {"loss": loss, "acc": acc, **samp_stats},
         )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_multi(
+        self,
+        state: TrainState,
+        graph: Graph,
+        features: jnp.ndarray,  # [N, F] HBM store
+        labels: jnp.ndarray,  # [N] int32
+        seeds: jnp.ndarray,  # [U, B] — U consecutive mini-batches
+        seed_masks: jnp.ndarray,  # [U, B]
+        key: jax.Array,
+    ):
+        """U consecutive train steps fused into one jitted program.
+
+        Bit-identical math to calling :meth:`train_step` U times (each
+        sub-step folds ``state.step`` into its keys and applies its own
+        Adam update), but fusing them lets XLA overlap sub-step i+1's
+        sampling compute (VPU select/permutation work) with sub-step i's
+        feature-gather DMA — measured 12.2 -> 10.2 ms/step on v5e at the
+        bench config (scripts/probe_step11/12.py).  Metrics are from the
+        last sub-step except overflow counters, which are summed.
+        """
+        U = seeds.shape[0]
+        ovf_keys = ("sampler_overflow", "frontier_overflow")
+        totals = {k: jnp.int32(0) for k in ovf_keys}
+        metrics = {}
+        for u in range(U):
+            state, metrics = self.train_step.__wrapped__(
+                self, state, graph, features, labels, seeds[u], seed_masks[u],
+                key,
+            )
+            for k in ovf_keys:
+                if k in metrics:
+                    totals[k] = totals[k] + jnp.asarray(metrics[k], jnp.int32)
+        metrics = {**metrics, **totals}
+        return state, metrics
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(
@@ -160,7 +205,9 @@ class Trainer:
         input_nodes = blocks[-1].frontier
         in_mask = blocks[-1].frontier_mask
         safe = jnp.where(in_mask, input_nodes, 0)
-        feats = jnp.where(in_mask[:, None], self._gather_rows(features, safe), 0)
+        feats = self._gather_rows(features, safe)
+        if self.zero_invalid_rows:
+            feats = jnp.where(in_mask[:, None], feats, 0)
         logits = self.model.apply(
             params, tuple(reversed(blocks)), feats, train=False,
             contiguous_first=not self.dedup_last,

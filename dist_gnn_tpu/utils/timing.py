@@ -62,3 +62,30 @@ def measure_chain(
     t_lo = min(chain(n_lo) for _ in range(reps))
     t_hi = min(chain(n_hi) for _ in range(reps))
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+
+def measure_op(
+    step: Callable,
+    init,
+    iters: int = 64,
+    n_lo: int = 2,
+    n_hi: int = 6,
+    reps: int = 3,
+) -> float:
+    """Seconds per step for SMALL device ops (sub-~5 ms).
+
+    ``measure_chain`` dispatches each step as its own jitted call; on the
+    tunneled backend every dispatch costs ~3-7 ms of host/tunnel time, so
+    chains of small ops measure the dispatch rate, not the op (probe_step14
+    produced nonsense this way).  Here the step runs ``iters`` times inside
+    ONE jitted ``fori_loop`` with a true carry dependence (the op cannot be
+    hoisted), and the whole program — now big enough for the slope method —
+    is measured with :func:`measure_chain` and divided by ``iters``.
+
+    ``step`` must map a small carry pytree to a same-shape carry, with its
+    expensive work dependent on the carry value.
+    """
+    looped = jax.jit(
+        lambda c: jax.lax.fori_loop(0, iters, lambda i, cc: step(cc), c)
+    )
+    return measure_chain(looped, init, n_lo=n_lo, n_hi=n_hi, reps=reps) / iters

@@ -310,3 +310,91 @@ def test_gat_full_graph_inference_matches_oracle():
             h = agg.reshape(N, Hh * d_out) + np.asarray(p["b"], np.float64)
             h = np.where(h > 0, h, np.expm1(h))  # elu
     np.testing.assert_allclose(out, h, rtol=2e-3, atol=2e-4)
+
+
+def test_train_step_multi_matches_sequential():
+    """train_step_multi(U) must be bit-identical to U sequential
+    train_step calls (same key: each sub-step folds in state.step)."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1000, avg_degree=8, feature_dim=12, num_classes=3,
+        train_frac=0.4, seed=1,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = Trainer(model=model, fan_out=(4, 3), dedup_last=False)
+    gen = SeedGenerator(arrays["train_idx"], 64, shuffle=True, drop_last=True)
+    it = gen.epoch(jax.random.key(3))
+    batches = [next(it) for _ in range(3)]
+    key = jax.random.key(9)
+
+    st_seq = trainer.init_state(jax.random.key(0))
+    last_m = None
+    ovf = 0
+    for s, mk in batches:
+        st_seq, last_m = trainer.train_step(
+            st_seq, graph, features, labels, s, mk, key
+        )
+        ovf += int(last_m["sampler_overflow"])
+
+    st_multi = trainer.init_state(jax.random.key(0))
+    seeds = jnp.stack([s for s, _ in batches])
+    masks = jnp.stack([m for _, m in batches])
+    st_multi, m_multi = trainer.train_step_multi(
+        st_multi, graph, features, labels, seeds, masks, key
+    )
+
+    assert int(st_multi.step) == int(st_seq.step) == 3
+    # same math, different XLA fusion → float-noise tolerance only
+    for a, b in zip(jax.tree.leaves(st_seq.params), jax.tree.leaves(st_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(
+        float(m_multi["loss"]), float(last_m["loss"]), rtol=1e-6
+    )
+    assert int(m_multi["sampler_overflow"]) == ovf
+
+
+def test_raw_gather_matches_masked_gather():
+    """zero_invalid_rows=False (skip the post-gather zeroing) must give the
+    same loss/metrics/updates: every invalid frontier slot is masked by its
+    consumer (gather_mean / contiguous mean / seed_mask at the loss)."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1500, avg_degree=9, feature_dim=10, num_classes=3,
+        train_frac=0.3, seed=5,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    # padded batch (drop_last=False ⇒ final batch has seed_mask=False slots)
+    # + tight frontier caps ⇒ dropped-entry invalid slots exercise the path
+    n = int(arrays["train_idx"].shape[0])
+    seeds = jnp.asarray(
+        np.concatenate([arrays["train_idx"][: 96], np.full(32, 0)]).astype(np.int32)
+    )
+    mask = jnp.asarray(np.arange(128) < 96)
+    for dedup_last in (False, True):
+        kw = dict(fan_out=(4, 3), dedup_last=dedup_last,
+                  frontier_caps=(300, 10**9))
+        tr_masked = Trainer(model=model, zero_invalid_rows=True, **kw)
+        tr_raw = Trainer(model=model, zero_invalid_rows=False, **kw)
+        st = tr_masked.init_state(jax.random.key(0))
+        st_m, m_m = tr_masked.train_step(
+            st, graph, features, labels, seeds, mask, jax.random.key(1)
+        )
+        st_r, m_r = tr_raw.train_step(
+            st, graph, features, labels, seeds, mask, jax.random.key(1)
+        )
+        np.testing.assert_allclose(
+            float(m_m["loss"]), float(m_r["loss"]), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(st_m.params), jax.tree.leaves(st_r.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        c_m = tr_masked.eval_step(st_m.params, graph, features, labels,
+                                  seeds, mask, jax.random.key(2))
+        c_r = tr_raw.eval_step(st_m.params, graph, features, labels,
+                               seeds, mask, jax.random.key(2))
+        assert int(c_m[0]) == int(c_r[0]) and int(c_m[1]) == int(c_r[1])

@@ -508,3 +508,26 @@ class TestAliasWindowed:
         np.testing.assert_array_equal(
             np.asarray(win.ids)[m], np.asarray(base.ids)[m]
         )
+
+
+def test_indptr_pairs_extents_identical():
+    """with_indptr_pairs=True must produce bit-identical samples."""
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.ops.sampling import sample_uniform
+
+    arrays, _ = make_synthetic_dataset(
+        num_nodes=3000, avg_degree=20, feature_dim=4, num_classes=3,
+        train_frac=0.3, seed=2,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    g_plain = hg.to_device()
+    g_pairs = hg.to_device(with_indptr_pairs=True)
+    assert g_pairs.indptr_pairs is not None
+    seeds = jnp.asarray(np.arange(256, dtype=np.int32) * 7 % 3000)
+    for window, budget in ((None, None), (16, 64), ((16, 128), (128, 16))):
+        a = sample_uniform(g_plain, seeds, 8, False, jax.random.key(3),
+                           window=window, big_row_budget=budget)
+        b = sample_uniform(g_pairs, seeds, 8, False, jax.random.key(3),
+                           window=window, big_row_budget=budget)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
