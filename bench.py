@@ -52,8 +52,9 @@ def main():
         seed=0,
     )
     hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
-    # indptr_pairs: one-row-gather extents (+8 B/node HBM, ~0.5 ms/step)
-    graph = hg.to_device(with_indptr_pairs=True)
+    # indptr_pairs: one-row-gather extents (+8 B/node HBM, ~0.5 ms/step);
+    # window_pair: one-row L1 window fetch (+4 B/edge HBM, ~0.2 ms/step)
+    graph = hg.to_device(with_indptr_pairs=True, window_pair=128)
     features = jnp.asarray(arrays["features"])
     labels = jnp.asarray(arrays["labels"])
 
@@ -101,17 +102,17 @@ def main():
     for s, mk in batches:
         jax.block_until_ready((s, mk))
 
-    # U=2 fused steps (train_step_multi): identical math to 2 sequential
-    # Adam steps, but one program — XLA overlaps sub-step 2's sampling
-    # compute with sub-step 1's feature-gather DMA (probe_step11/12:
-    # 12.2 -> ~10.2 ms/step; U=3/4 measured slightly worse).
-    UNROLL = 2
+    # U=8 fused steps (train_step_multi): identical math to 8 sequential
+    # Adam steps, but one program — amortizes the ~1.5 ms/call tunnel
+    # dispatch AND lets XLA overlap/schedule across sub-steps
+    # (probe_step19 fori: U=1 9.56, U=2 8.65, U=4 8.41, U=8 8.20 ms/step).
+    UNROLL = 8
     pair_seeds = [
         (
-            jnp.stack([batches[i][0], batches[i + 1][0]]),
-            jnp.stack([batches[i][1], batches[i + 1][1]]),
+            jnp.stack([b[0] for b in batches[i : i + UNROLL]]),
+            jnp.stack([b[1] for b in batches[i : i + UNROLL]]),
         )
-        for i in range(0, 8, UNROLL)
+        for i in range(0, len(batches), UNROLL)
     ]
     jax.block_until_ready(pair_seeds)
     step_counter = {"i": 0}

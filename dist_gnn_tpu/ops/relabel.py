@@ -41,6 +41,12 @@ class RelabeledFrontier(NamedTuple):
     # (only meaningful where the input neighbor mask was True)
 
 
+# Fast-path bound for the sort-payload variant: the forward-fill packs
+# (group, leader position) as ``seg * (cap + 1) + pos`` in int32, so it
+# needs cap * (cap + 1) < 2**31.
+_PACKED_CAP_LIMIT = 46_339
+
+
 @jax.jit
 def unique_and_relabel(
     seeds: jnp.ndarray,  # [S] int32, INVALID padded
@@ -56,30 +62,58 @@ def unique_and_relabel(
     pos = jnp.arange(cap, dtype=jnp.int32)
     valid = ids != INVALID_ID
 
-    # Stable argsort == lexicographic (id, position) order without any
-    # int64 key packing (x64 stays disabled).
-    s_pos = jnp.argsort(ids, stable=True).astype(jnp.int32)
-    s_ids = ids[s_pos]
-    s_valid = s_ids != INVALID_ID
+    if cap <= _PACKED_CAP_LIMIT:
+        # Sort-payload formulation: no random gathers/scatters at all.
+        # The multi-operand stable sort carries positions alongside ids
+        # (replacing the ids[s_pos] gather); the leader's position is
+        # forward-filled by a cummax of the monotonic packed code
+        # ``seg * (cap + 1) + s_pos`` (replacing the s_pos[lead_idx]
+        # gather); the back-permutation is a second sort keyed on s_pos
+        # (replacing the [cap]-element scatter).  ~2x faster at hop-2
+        # scale on v5e: random element gathers run ~75M/s while XLA's
+        # int32 sort runs ~640M el/s (scripts/probe_step15/19.py).
+        s_ids, s_pos = jax.lax.sort((ids, pos), num_keys=1, is_stable=True)
+        s_valid = s_ids != INVALID_ID
+        first = s_valid & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), s_ids[1:] != s_ids[:-1]]
+        )
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # group idx, monotone
+        code = jnp.where(first, seg * (cap + 1) + s_pos, -1)
+        lead_pos = jax.lax.cummax(code) % (cap + 1)  # leader's s_pos, filled
 
-    first = s_valid & jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), s_ids[1:] != s_ids[:-1]]
-    )
-    # forward-fill index of the last group leader
-    lead_idx = jax.lax.cummax(jnp.where(first, pos, -1))
-    lead_pos = s_pos[jnp.clip(lead_idx, 0, cap - 1)]  # min position of the group
+        lead_is_seed = lead_pos < S
+        is_new_group = first & (~lead_is_seed)
+        new_rank = jnp.cumsum(is_new_group.astype(jnp.int32)) - 1
+        group_slot = jnp.where(lead_is_seed, lead_pos, S + new_rank)
+        slot_sorted = jnp.where(s_valid, group_slot, 0)
+        # un-permute via a second sort keyed on the original position
+        _, slots = jax.lax.sort((s_pos, slot_sorted), num_keys=1)
+        slots = jnp.where(valid, slots, 0)
+    else:
+        # Stable argsort == lexicographic (id, position) order without any
+        # int64 key packing (x64 stays disabled).
+        s_pos = jnp.argsort(ids, stable=True).astype(jnp.int32)
+        s_ids = ids[s_pos]
+        s_valid = s_ids != INVALID_ID
 
-    lead_is_seed = lead_pos < S
-    is_new_group = first & (~lead_is_seed)
-    new_rank = jnp.cumsum(is_new_group.astype(jnp.int32)) - 1  # rank at leaders
-    group_slot = jnp.where(lead_is_seed, lead_pos, S + new_rank)
-    # propagate the leader's slot to every member (new_rank is constant within
-    # a group after the leader because cumsum only bumps at new leaders)
-    slot_sorted = jnp.where(s_valid, group_slot, INVALID_ID)
+        first = s_valid & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), s_ids[1:] != s_ids[:-1]]
+        )
+        # forward-fill index of the last group leader
+        lead_idx = jax.lax.cummax(jnp.where(first, pos, -1))
+        lead_pos = s_pos[jnp.clip(lead_idx, 0, cap - 1)]  # min pos of group
 
-    # scatter back to original order
-    slots = jnp.zeros((cap,), jnp.int32).at[s_pos].set(slot_sorted)
-    slots = jnp.where(valid, slots, 0)
+        lead_is_seed = lead_pos < S
+        is_new_group = first & (~lead_is_seed)
+        new_rank = jnp.cumsum(is_new_group.astype(jnp.int32)) - 1
+        group_slot = jnp.where(lead_is_seed, lead_pos, S + new_rank)
+        # propagate the leader's slot to every member (new_rank is constant
+        # within a group after the leader: cumsum only bumps at new leaders)
+        slot_sorted = jnp.where(s_valid, group_slot, INVALID_ID)
+
+        # scatter back to original order
+        slots = jnp.zeros((cap,), jnp.int32).at[s_pos].set(slot_sorted)
+        slots = jnp.where(valid, slots, 0)
 
     num_new = jnp.sum(is_new_group.astype(jnp.int32))
     num_seed_valid = jnp.sum((seeds != INVALID_ID).astype(jnp.int32))

@@ -65,7 +65,7 @@ def _row_extents(graph: Graph, seeds: jnp.ndarray):
 
 
 def _window_select_multi(
-    arrays, num_edges: int, start, sel, mask, W: int
+    arrays, num_edges: int, start, sel, mask, W: int, pairs=None
 ):
     """One window level over several row-aligned edge arrays at once:
     values for picks whose position falls inside the 2W-window at each
@@ -79,21 +79,37 @@ def _window_select_multi(
     which lowers to a per-element gather (measured 5.1 ms vs 0.18 ms for
     this fused reduction at [33792, 256] pick 15); the hit mask is built
     once and shared across the arrays.
+
+    ``pairs`` (optional, parallel to ``arrays``): a (C, rows_a) pair
+    layout — the two 2W-aligned reshapes of the array concatenated
+    (Graph.win_pair).  With it the window is ONE row gather instead of
+    two: C[r0//2] when r0 is even, C[rows_a + (r0-1)//2] when odd
+    (0.48 -> 0.27 ms at the bench hop-3 shape, probe_step15).
     """
     B, k = sel.shape
     n_rows = -(-num_edges // W)
     pad = n_rows * W - num_edges
     r0 = jnp.clip((start // W).astype(jnp.int32), 0, max(n_rows - 2, 0))
-    pair = jnp.stack([r0, r0 + 1], axis=1)  # [B, 2]
     adj = (start - (r0.astype(start.dtype) * W))[:, None] + sel  # [B, k]
     covered = mask & (adj < 2 * W)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * W), 2)
     hitmask = w_iota == jnp.clip(adj, 0, 2 * W - 1)[:, :, None]  # [B, k, 2W]
+    pair = None
     vals = []
-    for flat in arrays:
-        if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-        win = flat.reshape(n_rows, W)[pair].reshape(B, 2 * W)  # [B, 2W]
+    for i, flat in enumerate(arrays):
+        p = pairs[i] if pairs is not None else None
+        if p is not None:
+            C, rows_a = p
+            pair_row = jnp.where(
+                r0 % 2 == 0, r0 // 2, rows_a + (r0 - 1) // 2
+            )  # XLA CSEs repeats across arrays sharing a layout
+            win = C[pair_row]  # [B, 2W] — one row per seed
+        else:
+            if pair is None:
+                pair = jnp.stack([r0, r0 + 1], axis=1)  # [B, 2]
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+            win = flat.reshape(n_rows, W)[pair].reshape(B, 2 * W)  # [B, 2W]
         vals.append(jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2))
     return vals, covered
 
@@ -157,6 +173,7 @@ def _window_fetch_multi(
     mask: jnp.ndarray,  # [B, k]
     window,  # int W, or (W1, W2) two-level cascade
     big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
+    pairs=None,  # optional per-array (C, rows_a) W1 pair layouts
 ):
     """Fetch ``a[start + sel]`` for every array in ``arrays`` using
     contiguous window gathers instead of B*k element gathers (TPU gather
@@ -185,7 +202,9 @@ def _window_fetch_multi(
         W1, W2 = window, None
         R1, R2 = big_row_budget, None
 
-    vals, covered = _window_select_multi(arrays, num_edges, start, sel, mask, W1)
+    vals, covered = _window_select_multi(
+        arrays, num_edges, start, sel, mask, W1, pairs=pairs
+    )
 
     uncovered_any = jnp.any(mask & ~covered, axis=1)  # [B]
     if R1 is None:
@@ -245,9 +264,18 @@ def _window_fetch(
     """Neighbor-id specialization of :func:`_window_fetch_multi`."""
     (ids,), served, overflow = _window_fetch_multi(
         (graph.indices,), graph.num_edges, start, sel, mask, window,
-        big_row_budget,
+        big_row_budget, pairs=_indices_pair(graph, window),
     )
     return jnp.where(served, ids, INVALID_ID), served, overflow
+
+
+def _indices_pair(graph: Graph, window):
+    """(C, rows_a) level-1 pair layout for graph.indices when built at the
+    matching W (Graph.win_pair); None otherwise."""
+    w1 = window[0] if isinstance(window, (tuple, list)) else window
+    if graph.win_pair is not None and graph.win_pair_w == w1:
+        return ((graph.win_pair, graph.win_pair_rows_a),)
+    return None
 
 
 @partial(jax.jit, static_argnames=("k", "replace", "window", "big_row_budget"))
@@ -430,13 +458,13 @@ def sample_biased_alias(
     w1 = window[0] if isinstance(window, (tuple, list)) else window
     windowed = window is not None and graph.num_edges > w1
 
-    def fetch(arrays, pos_in_row, m):
+    def fetch(arrays, pos_in_row, m, pairs=None):
         """arrays[i][start + pos_in_row], windowed when enabled.
         Returns (vals list, served mask, overflow count)."""
         if windowed:
             return _window_fetch_multi(
                 arrays, graph.num_edges, start, pos_in_row, m, window,
-                big_row_budget,
+                big_row_budget, pairs=pairs,
             )
         pos = jnp.clip(start[:, None] + pos_in_row.astype(start.dtype), 0, nnz)
         return [a[pos] for a in arrays], m, jnp.int32(0)
@@ -454,7 +482,9 @@ def sample_biased_alias(
         bits = prng.random_keys(key, (2, B, k))
         m0 = jnp.broadcast_to(valid[:, None] & (deg[:, None] > 0), (B, k))
         sel, served_d, ovf_d = alias_draw(bits[0], bits[1], m0)
-        (idv,), served_i, ovf_i = fetch((graph.indices,), sel, served_d)
+        (idv,), served_i, ovf_i = fetch(
+            (graph.indices,), sel, served_d, pairs=_indices_pair(graph, window)
+        )
         mask = m0 & served_i
         ids = jnp.where(mask, idv, INVALID_ID)
         return SampledNeighbors(
@@ -507,7 +537,9 @@ def sample_biased_alias(
         jnp.where(is_dense, dense_valid, sparse_valid),
     )
     mask = valid[:, None] & smask
-    (idv,), served_i, ovf_i = fetch((graph.indices,), sel, mask)
+    (idv,), served_i, ovf_i = fetch(
+        (graph.indices,), sel, mask, pairs=_indices_pair(graph, window)
+    )
     mask = mask & served_i
     ids = jnp.where(mask, idv, INVALID_ID)
     # sparse-path shortfall (fewer than k distinct draws in T attempts on a

@@ -71,6 +71,7 @@ def measure_op(
     n_lo: int = 2,
     n_hi: int = 6,
     reps: int = 3,
+    args: tuple = (),
 ) -> float:
     """Seconds per step for SMALL device ops (sub-~5 ms).
 
@@ -84,8 +85,18 @@ def measure_op(
 
     ``step`` must map a small carry pytree to a same-shape carry, with its
     expensive work dependent on the carry value.
+
+    ``args``: extra (large) arrays ``step`` needs, passed as jit ARGUMENTS
+    — `step(carry, *args)`.  Do NOT close over big device arrays instead:
+    closure arrays become jaxpr constants and the axon remote-compile
+    serializes constants into the HTTP request (>~250 MB total fails with
+    HTTP 413).
     """
     looped = jax.jit(
-        lambda c: jax.lax.fori_loop(0, iters, lambda i, cc: step(cc), c)
+        lambda c, *a: jax.lax.fori_loop(
+            0, iters, lambda i, cc: step(cc, *a), c
+        )
     )
-    return measure_chain(looped, init, n_lo=n_lo, n_hi=n_hi, reps=reps) / iters
+    return measure_chain(
+        lambda c: looped(c, *args), init, n_lo=n_lo, n_hi=n_hi, reps=reps
+    ) / iters

@@ -58,6 +58,11 @@ def parse_args():
     ap.add_argument("--host-struct", action="store_true",
                     help="tier!=hbm: keep the graph TOPOLOGY host-resident "
                          "too (HBM hot sub-CSR + per-hop staged adjacency)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="fuse U consecutive steps into one jitted program "
+                         "(Trainer.train_step_multi; single-chip hbm tier "
+                         "only) — amortizes dispatch and lets XLA schedule "
+                         "across steps")
     ap.add_argument("--checkpoint", default=None, help="save path prefix")
     ap.add_argument("--resume", default=None, help="load path prefix")
     ap.add_argument("--metrics-log", default=None, help="JSONL metrics path")
@@ -203,6 +208,7 @@ def main():
         else None
     )
     log = MetricsLogger(path=args.metrics_log, stdout=False)
+    multi_step_fn = None  # set on the single-chip hbm path when --unroll > 1
 
     if args.dataset == "synthetic":
         arrays, meta = make_synthetic_dataset(
@@ -285,6 +291,10 @@ def main():
         step_fn = lambda st, seeds, mask, key: trainer.train_step(
             st, graph, features, labels_1d, seeds, mask, key
         )
+        if args.unroll > 1:
+            multi_step_fn = lambda st, sU, mU, key: trainer.train_step_multi(
+                st, graph, features, labels_1d, sU, mU, key
+            )
         eval_fn = lambda params, seeds, mask, key: trainer.eval_step(
             params, graph, features, labels_1d, seeds, mask, key
         )
@@ -300,9 +310,28 @@ def main():
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         losses, accs = [], []
+        pending = []
         for step, (seeds, mask) in enumerate(
             train_gen.epoch(jax.random.key(1000 + epoch))
         ):
+            if args.unroll > 1 and multi_step_fn is not None:
+                pending.append((seeds, mask))
+                if len(pending) < args.unroll:
+                    continue
+                sU = jnp.stack([s_ for s_, _ in pending])
+                mU = jnp.stack([m_ for _, m_ in pending])
+                pending = []
+                state, metrics = multi_step_fn(
+                    state, sU, mU, jax.random.key(epoch)
+                )
+            else:
+                state, metrics = step_fn(
+                    state, seeds, mask, jax.random.key(epoch)
+                )
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
+        # leftover batches of a partial unroll group run one at a time
+        for seeds, mask in pending:
             state, metrics = step_fn(state, seeds, mask, jax.random.key(epoch))
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])

@@ -1,0 +1,146 @@
+"""Honest re-measurement after commit a39daeb (compact-rows gather form,
+indptr_pairs, raw gather, U=2).
+
+Run: timeout 2400 python -u scripts/probe_step17.py > /tmp/probe17.log 2>&1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
+from dist_gnn_tpu.dataloading import SeedGenerator
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import HostGraph
+from dist_gnn_tpu.models import SAGE
+from dist_gnn_tpu.ops.relabel import unique_and_relabel
+from dist_gnn_tpu.ops.sampling import sample_uniform
+from dist_gnn_tpu.sampler import sample_blocks
+from dist_gnn_tpu.training import Trainer
+from dist_gnn_tpu.utils.timing import measure_op
+
+FAN_OUT = (15, 10, 5)
+KW = dict(
+    dedup_last=False,
+    frontier_caps=(3072, 26624, 10**9),
+    window=(128, 1024),
+    big_row_budget=(5120, 1024),
+)
+N = 500_000
+
+
+def tree_consume(tree):
+    tot = jnp.float32(0)
+    for leaf in jax.tree.leaves(tree):
+        tot = tot + jnp.sum(leaf.astype(jnp.float32))
+    return tot
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=N, avg_degree=30, feature_dim=100,
+        num_classes=47, train_frac=0.2, seed=0,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device(with_indptr_pairs=True)
+    features = jnp.asarray(arrays["features"]).astype(jnp.bfloat16)
+    labels = jnp.asarray(arrays["labels"])
+    gen = SeedGenerator(arrays["train_idx"], 512, shuffle=True, drop_last=True)
+    seeds, mask = next(gen.epoch(jax.random.key(100)))
+    jax.block_until_ready((seeds, mask))
+
+    def bench(name, fn, init, iters=16):
+        dt = measure_op(fn, init, iters=iters)
+        print(f"{name:52s} {dt*1e3:8.3f} ms", flush=True)
+        return dt
+
+    def samp(c):
+        s = jnp.where(mask, (seeds + c) % (N - 1), seeds)
+        blocks, stats = sample_blocks(
+            graph, s, mask, FAN_OUT, False, jax.random.key(7), **KW
+        )
+        return (c + (tree_consume(blocks) + tree_consume(stats)).astype(
+            jnp.int32) % 3 + 1) % 97
+
+    bench("sample_blocks (consumed)", samp, jnp.int32(0))
+
+    blocks, _ = sample_blocks(
+        graph, seeds, mask, FAN_OUT, False, jax.random.key(7), **KW
+    )
+    blocks = jax.block_until_ready(blocks)
+    s3 = jax.block_until_ready(
+        jnp.where(blocks[1].frontier_mask, blocks[1].frontier, 0)
+    )
+
+    def hop3(c):
+        s = (s3 + c) % (N - 1)
+        nb = sample_uniform(
+            graph, s, 15, False, jax.random.key(11),
+            window=(128, 1024), big_row_budget=(5120, 1024),
+        )
+        return (c + tree_consume((nb.ids, nb.mask, nb.overflow)).astype(
+            jnp.int32) % 3 + 1) % 97
+
+    bench("hop3 windowed [26624x15]", hop3, jnp.int32(0))
+
+    s2 = jax.block_until_ready(
+        jnp.where(blocks[0].frontier_mask, blocks[0].frontier, 0)
+    )
+    nb2 = jax.block_until_ready(
+        sample_uniform(graph, s2, 10, False, jax.random.key(11))
+    )
+
+    def rel2(c):
+        ids = (nb2.ids + c) % (N - 1)
+        rl = unique_and_relabel(s2, ids, nb2.mask)
+        return (c + tree_consume(rl).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("hop2 sort-relabel [33792]", rel2, jnp.int32(0))
+
+    model = SAGE(100, 256, meta["num_classes"], 3, compute_dtype=jnp.bfloat16)
+    trainer = Trainer(
+        model=model, fan_out=FAN_OUT, dedup_last=False,
+        frontier_caps=KW["frontier_caps"], sampler_window=KW["window"],
+        sampler_big_budget=KW["big_row_budget"],
+    )
+    state = trainer.init_state(jax.random.key(0))
+
+    def full(st):
+        st2, _ = trainer.train_step.__wrapped__(
+            trainer, st, graph, features, labels, seeds, mask,
+            jax.random.key(7),
+        )
+        return st2
+
+    bench("FULL step U=1 (fori)", full, state, iters=8)
+
+    it2 = gen.epoch(jax.random.key(101))
+    b2 = [next(it2) for _ in range(2)]
+    sU = jnp.stack([b[0] for b in b2])
+    mU = jnp.stack([b[1] for b in b2])
+    jax.block_until_ready((sU, mU))
+
+    def fullU2(st):
+        st2, _ = trainer.train_step_multi.__wrapped__(
+            trainer, st, graph, features, labels, sU, mU, jax.random.key(7)
+        )
+        return st2
+
+    dt = measure_op(fullU2, state, iters=8)
+    print(f"{'FULL U=2 (fori) per sub-step':52s} {dt/2*1e3:8.3f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

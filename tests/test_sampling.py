@@ -531,3 +531,41 @@ def test_indptr_pairs_extents_identical():
                            window=window, big_row_budget=budget)
         np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+def test_window_pair_layout_identical():
+    """Graph.win_pair (one-row L1 window gather) must be bit-identical to
+    the two-row path, for uniform and alias-biased samplers."""
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.ops.sampling import sample_uniform, sample_biased_alias
+
+    arrays, _ = make_synthetic_dataset(
+        num_nodes=2000, avg_degree=25, feature_dim=4, num_classes=3,
+        train_frac=0.3, with_probs=True, seed=7,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"],
+                   probs=arrays["probs"])
+    g_plain = hg.to_device(with_alias=True)
+    g_pair = hg.to_device(with_alias=True, window_pair=16)
+    assert g_pair.win_pair is not None
+    seeds = jnp.asarray(np.arange(512, dtype=np.int32) * 3 % 2000)
+    for window, budget in ((16, 64), ((16, 128), (128, 16))):
+        a = sample_uniform(g_plain, seeds, 8, False, jax.random.key(3),
+                           window=window, big_row_budget=budget)
+        b = sample_uniform(g_pair, seeds, 8, False, jax.random.key(3),
+                           window=window, big_row_budget=budget)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        # W mismatch must silently fall back to the two-row path
+        c = sample_uniform(g_pair, seeds, 8, False, jax.random.key(3),
+                           window=32, big_row_budget=64)
+        d = sample_uniform(g_plain, seeds, 8, False, jax.random.key(3),
+                           window=32, big_row_budget=64)
+        np.testing.assert_array_equal(np.asarray(c.ids), np.asarray(d.ids))
+    for replace in (False, True):
+        a = sample_biased_alias(g_plain, seeds, 6, replace, jax.random.key(5),
+                                window=16, big_row_budget=64)
+        b = sample_biased_alias(g_pair, seeds, 6, replace, jax.random.key(5),
+                                window=16, big_row_budget=64)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
