@@ -112,7 +112,14 @@ class GAT:
                 z_n = z[block.num_dst :].reshape(S_, k_, H, d_out)
             else:
                 z_n = z[block.neigh_slots]  # [S, k, H, d_out]
-            out = jnp.sum(z_n * alpha[..., None], axis=1)  # [S, H, d_out]
+            # contraction over k as einsum, NOT sum(z_n * alpha[..., None]):
+            # the broadcasted product materializes a [S, k, H, d] tensor
+            # (436 MB at bench shapes) in fwd AND bwd; the einsum lets XLA
+            # fuse the reduce
+            out = jnp.einsum(
+                "skh,skhd->shd", alpha.astype(z_n.dtype), z_n,
+                preferred_element_type=jnp.float32,
+            ).astype(z_n.dtype)  # [S, H, d_out]
             h = self._combine(p, out, d_out, last)
             if not last and train and self.dropout > 0:
                 assert rng is not None

@@ -332,6 +332,258 @@ def _chunk_gather(arr, pos, in_range):
     return jnp.where(in_range, arr[pos], 0)
 
 
+def _topk_hier(x: jnp.ndarray, k: int, chunk: int = 256):
+    """Exact top-k over wide rows via two narrow top-k passes.
+
+    ``lax.top_k`` cost grows steeply with row width on TPU (measured
+    4.7 ms at [5120, 2048] k=15 vs sub-ms at width 256 — probe_step22):
+    split each row into width-``chunk`` pieces, top-k each piece (top-k of
+    the union of per-piece top-ks == global top-k), then top-k the
+    candidates.  Positions are recovered with a one-hot select over the
+    (small) candidate axis, not take_along_axis (per-element gathers).
+    """
+    B, W = x.shape
+    if W <= 2 * chunk or W % chunk:
+        return jax.lax.top_k(x, k)
+    n = W // chunk
+    kc = min(k, chunk)
+    v1, p1 = jax.lax.top_k(x.reshape(B * n, chunk), kc)
+    v1 = v1.reshape(B, n * kc)
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, n, kc), 1) * chunk
+    ).reshape(B, n * kc)
+    p1g = p1.reshape(B, n * kc) + base  # global positions of candidates
+    v2, p2 = jax.lax.top_k(v1, k)  # positions into the candidate axis
+    cand = jax.lax.broadcasted_iota(jnp.int32, (B, 1, n * kc), 2)
+    hit = cand == p2[:, :, None]
+    pos = jnp.sum(jnp.where(hit, p1g[:, None, :], 0), axis=2)
+    return v2, pos
+
+
+def _gumbel_window_level(
+    graph: Graph,
+    start: jnp.ndarray,  # [B] edge offsets of each row
+    deg: jnp.ndarray,  # [B]
+    row_mask: jnp.ndarray,  # [B] rows this level should serve
+    k: int,
+    row_key: jnp.ndarray,  # [B] uint32
+    W: int,
+    level_salt: int,
+):
+    """Exact A-Res (Gumbel-key top-k) over rows fully contained in their
+    2W-aligned window.  Fetches each row's probs AND ids windows once
+    ([B, 2W] row gathers), draws one uniform per in-row edge, and top-ks
+    the Gumbel keys log(u)/w over the whole row — the reference's
+    A-Res + WarpSelect semantics (rowwise_sampling_bias.cu:62-146) with
+    no per-draw lookups.
+
+    Returns (ids [B, k], sel [B, k] row offsets, got [B, k] valid mask,
+    fits [B] rows fully served by this level).  Rows with
+    start+deg crossing the window go unserved (fits=False) and must
+    cascade to a wider level or the tail path.
+    """
+    B = start.shape[0]
+    num_edges = graph.num_edges
+    n_rows = -(-num_edges // W)
+    r0 = jnp.clip((start // W).astype(jnp.int32), 0, max(n_rows - 2, 0))
+    adj0 = (start - r0.astype(start.dtype) * W).astype(jnp.int32)  # [B]
+    fits = row_mask & (adj0 + deg <= 2 * W) & (deg > 0)
+
+    pairs = _indices_pair(graph, W)
+    (wids,), _ = _window_select_raw(
+        (graph.indices,), num_edges, r0, W, pairs=pairs
+    )
+    (wprob,), _ = _window_select_raw((graph.probs,), num_edges, r0, W)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * W), 1)
+    in_row = (col >= adj0[:, None]) & (col < (adj0 + deg)[:, None])
+    bits = prng.mix32(
+        row_key[:, None]
+        ^ prng.mix32((col ^ jnp.int32(level_salt)).astype(jnp.uint32))
+    )
+    u = prng.bits_to_uniform(bits)
+    w = jnp.where(in_row & fits[:, None], wprob, 0.0)
+    gl = jnp.where(w > 0, jnp.log(u) / w, -jnp.float32(jnp.inf))
+    top_vals, top_pos = _topk_hier(gl, k)  # positions within window
+    got = (top_vals > -jnp.float32(jnp.inf)) & fits[:, None]
+    # one-hot select of the picked ids (take_along_axis lowers to slow
+    # per-element gathers; compare+mask+reduce is the fast shape)
+    hit = col[:, None, :] == top_pos[:, :, None]  # [B, k, 2W]
+    ids = jnp.sum(jnp.where(hit, wids[:, None, :], 0), axis=2)
+    sel = top_pos - adj0[:, None]
+    return ids, sel, got, fits
+
+
+def _window_select_raw(arrays, num_edges, r0, W, pairs=None):
+    """Fetch the [B, 2W] windows at row indices r0 for each array (the raw
+    half of :func:`_window_select_multi`, shared by the Gumbel path)."""
+    n_rows = -(-num_edges // W)
+    pad = n_rows * W - num_edges
+    pair = None
+    outs = []
+    for i, flat in enumerate(arrays):
+        p = pairs[i] if pairs is not None else None
+        if p is not None:
+            C, rows_a = p
+            row = jnp.where(r0 % 2 == 0, r0 // 2, rows_a + (r0 - 1) // 2)
+            outs.append(C[row])
+        else:
+            if pair is None:
+                pair = jnp.stack([r0, r0 + 1], axis=1)
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+            outs.append(flat.reshape(n_rows, W)[pair].reshape(r0.shape[0], 2 * W))
+    return outs, n_rows
+
+
+def _compact_rows_scalar(payloads, rows_flag, R: int):
+    """Compact per-row scalar payloads of flagged rows into a static budget
+    R (gather formulation — see :func:`_compact_rows`).  Returns
+    (compacted payloads [R], inv_row [R], filled [R], in_budget [B])."""
+    B = rows_flag.shape[0]
+    rank = jnp.cumsum(rows_flag.astype(jnp.int32)) - 1
+    in_budget = rows_flag & (rank < R)
+    slot = jnp.where(in_budget, rank, R)
+    inv_row = (
+        jnp.full((R + 1,), B, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(B, dtype=jnp.int32), mode="drop")[:R]
+    )
+    filled = inv_row < B
+    src = jnp.where(filled, inv_row, 0)
+    outs = [jnp.where(filled, p[src], 0) for p in payloads]
+    return outs, inv_row, filled, in_budget
+
+
+def _alias_distinct_tail(graph: Graph, start, deg, row_mask, k: int, row_key):
+    """First-k-distinct successive alias draws for a (small, compacted) set
+    of huge rows — elementwise lookups are fine at tail scale.  Equivalent
+    in distribution to A-Res (Efraimidis–Spirakis).  Returns (ids [R, k],
+    sel [R, k], got [R, k], shortfall count)."""
+    R = start.shape[0]
+    T = 4 * k
+    nnz = max(graph.num_edges - 1, 0)
+    t_iota = jax.lax.broadcasted_iota(jnp.uint32, (R, T), 1)
+    bits_slot = prng.mix32(row_key[:, None] ^ prng.mix32(t_iota * jnp.uint32(2654435769)))
+    bits_u = prng.mix32(bits_slot ^ jnp.uint32(0x5BD1E995))
+    j = prng.uniform_mod(bits_slot, deg[:, None])
+    pos = jnp.clip(start[:, None] + j.astype(start.dtype), 0, nnz)
+    pr = graph.alias_prob[pos]
+    al = graph.alias_idx[pos]
+    u = prng.bits_to_uniform(bits_u)
+    draws = jnp.where(u < pr, j, al.astype(j.dtype))
+    eq = draws[:, :, None] == draws[:, None, :]
+    earlier = jnp.tril(jnp.ones((T, T), bool), k=-1)
+    first = ~jnp.any(eq & earlier[None], axis=2) & row_mask[:, None]
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    take = first & (rank < k)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+    sel = (
+        jnp.zeros((R, k), jnp.int32)
+        .at[jnp.where(take, row_i, R), jnp.where(take, rank, 0)]
+        .set(draws.astype(jnp.int32), mode="drop")
+    )
+    got_n = jnp.sum(take.astype(jnp.int32), axis=1)
+    jslots = jax.lax.broadcasted_iota(jnp.int32, (R, k), 1)
+    got = (jslots < jnp.minimum(got_n, jnp.minimum(deg, k))[:, None]) & row_mask[:, None]
+    pos_k = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
+    ids = jnp.where(got, graph.indices[pos_k], INVALID_ID)
+    want = jnp.where(row_mask, jnp.minimum(deg, k), 0)
+    shortfall = jnp.sum(jnp.maximum(want - got_n, 0)).astype(jnp.int32)
+    return ids, sel, got, shortfall
+
+
+@partial(jax.jit, static_argnames=("k", "window", "big_row_budget"))
+def sample_biased_windowed(
+    graph: Graph,
+    seeds: jnp.ndarray,
+    k: int,
+    key: jax.Array,
+    window=(128, 1024),
+    big_row_budget=(5120, 1024),
+) -> SampledNeighbors:
+    """Weighted without-replacement sampling via windowed Gumbel top-k.
+
+    TPU-first redesign of the reference A-Res kernel
+    (``src/sampling/cuda/rowwise_sampling_bias.cu:62-146``) that also
+    replaces the per-draw alias lookups of :func:`sample_biased_alias`
+    (measured 34 ms/hop at [26624, 15]: every draw needs an (alias_prob,
+    alias_idx) fetch, each a 2W-wide masked select):
+
+      * level 1: rows whose edge span fits their 2*W1-aligned window get
+        the EXACT Gumbel-key top-k over the whole row from two [B, 2W1]
+        row-gathers (probs + ids) — one fetch per row, not per draw;
+      * level 2: the rest compact into R1 and repeat at 2*W2;
+      * tail: rows bigger than 2*W2 compact into R2 and use first-k-
+        distinct successive alias draws (elementwise is fine for ~1k hub
+        rows); requires ``graph.alias_prob`` (HostGraph.to_device
+        with_alias=True).
+
+    All three levels are A-Res-equivalent in distribution, so the whole
+    sampler matches the numpy A-Res oracle (tested).  Rows beyond the
+    R1/R2 budgets are masked and counted in ``overflow`` — never silently
+    wrong.
+    """
+    assert graph.probs is not None and graph.alias_prob is not None
+    B = seeds.shape[0]
+    W1, W2 = window if isinstance(window, (tuple, list)) else (window, None)
+    R1, R2 = (
+        big_row_budget if isinstance(big_row_budget, (tuple, list))
+        else (big_row_budget, max(big_row_budget // 4, 1))
+    )
+    if W2 is None:
+        W2, R2 = W1 * 8, max(R1 // 4, 1)
+    start, deg, valid = _row_extents(graph, seeds)
+    row_key = prng.random_keys(key, (B,))
+
+    ids1, sel1, got1, fits1 = _gumbel_window_level(
+        graph, start, deg, valid, k, row_key, W1, 0x1111
+    )
+
+    rest1 = valid & ~fits1 & (deg > 0)
+    (c_start, c_deg, c_key), inv1, filled1, in_b1 = _compact_rows_scalar(
+        (start, deg, row_key), rest1, R1
+    )
+    ids2, sel2, got2, fits2 = _gumbel_window_level(
+        graph, c_start, c_deg.astype(jnp.int32), filled1, k,
+        c_key.astype(jnp.uint32), W2, 0x2222,
+    )
+
+    rest2 = filled1 & ~fits2 & (c_deg > 0)
+    (t_start, t_deg, t_key), inv2, filled2, in_b2 = _compact_rows_scalar(
+        (c_start, c_deg, c_key), rest2, R2
+    )
+    ids3, sel3, got3, short3 = _alias_distinct_tail(
+        graph, t_start, t_deg.astype(jnp.int32), filled2, k,
+        t_key.astype(jnp.uint32),
+    )
+
+    # scatter tail into level-2 shape, then level-2 into [B, k]
+    (ids2b, sel2b), served3 = _scatter_back_vals(
+        (jnp.where(got3, ids3, 0), sel3), got3, inv2, R1
+    )
+    ids2m = jnp.where(got2, ids2, ids2b)
+    sel2m = jnp.where(got2, sel2, sel2b)
+    got2m = got2 | served3
+    (ids1b, sel1b), served2 = _scatter_back_vals(
+        (jnp.where(got2m, ids2m, 0), sel2m), got2m, inv1, B
+    )
+    ids = jnp.where(got1, ids1, ids1b)
+    mask = got1 | served2
+    ids = jnp.where(mask, ids, INVALID_ID)
+
+    # overflow = picks lost to the static R1/R2 budgets (+ tail shortfall);
+    # zero-weight/empty rows legitimately produce no picks and don't count
+    drop1 = jnp.where(rest1 & ~in_b1, jnp.minimum(deg, k), 0)
+    drop2 = jnp.where(rest2 & ~in_b2, jnp.minimum(c_deg.astype(jnp.int32), k), 0)
+    overflow = (
+        jnp.sum(drop1).astype(jnp.int32)
+        + jnp.sum(drop2).astype(jnp.int32)
+        + short3
+    )
+    return SampledNeighbors(ids=ids, mask=mask, overflow=overflow)
+
+
 @partial(jax.jit, static_argnames=("k", "replace", "chunk"))
 def sample_biased(
     graph: Graph,
@@ -571,6 +823,22 @@ def sample_neighbors(
     if biased is None:
         biased = graph.probs is not None
     if biased:
+        w1 = window[0] if isinstance(window, (tuple, list)) else window
+        if (
+            not replace
+            and window is not None
+            and big_row_budget is not None
+            and graph.alias_prob is not None
+            and graph.probs is not None
+            and graph.num_edges > (w1 or 0)
+        ):
+            # windowed Gumbel top-k: one probs/ids window fetch per row
+            # instead of per draw — the fast biased path (probe_step20:
+            # alias per-draw fetches cost 34 ms/hop at [26624, 15])
+            return sample_biased_windowed(
+                graph, seeds, k, key,
+                window=window, big_row_budget=big_row_budget,
+            )
         if graph.alias_prob is not None:
             return sample_biased_alias(
                 graph, seeds, k, replace, key,

@@ -298,6 +298,28 @@ class DistTrainer:
             check_vma=False,
         )(params, graph, self.store.shard_args(), labels, seeds, seed_mask, key)
 
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_multi(self, state, graph, labels, seeds, seed_masks, key):
+        """U consecutive distributed train steps fused into one jitted
+        program (``seeds``/``seed_masks``: [U, world_batch] sharded over
+        the mesh axis on the batch dim).  Same math as U sequential
+        :meth:`train_step` calls; fusing amortizes per-call dispatch and
+        lets XLA schedule across sub-steps (single-chip Trainer measured
+        9.56 -> 8.20 ms/step at U=8 — probe_step19).  Metrics are the last
+        sub-step's, with overflow counters summed."""
+        U = seeds.shape[0]
+        ovf_keys = ("overflow", "sampler_overflow", "frontier_overflow")
+        totals = {k: jnp.int32(0) for k in ovf_keys}
+        metrics = {}
+        for u in range(U):
+            state, metrics = self.train_step.__wrapped__(
+                self, state, graph, labels, seeds[u], seed_masks[u], key
+            )
+            for k in ovf_keys:
+                if k in metrics:
+                    totals[k] = totals[k] + jnp.asarray(metrics[k], jnp.int32)
+        return state, {**metrics, **totals}
+
     def store_labels_fetch(self, labels_shard, seeds, seed_mask):
         from dist_gnn_tpu.parallel.feature_store import exchange_gather
 

@@ -173,8 +173,19 @@ def sample_blocks(
     front_ovf = jnp.int32(0)
     keys = jax.random.split(key, len(fan_out))
     for i, k in enumerate(reversed(list(fan_out))):
+        # biased hops always take the window when given: the windowed
+        # Gumbel top-k fetches one probs/ids window per ROW, while the
+        # elementwise alias path pays 2 lookups per DRAW — the window wins
+        # at every hop size (uniform hops stay gated: their elementwise
+        # fetch is 1 lookup per pick and beats the window below
+        # window_min_slots slots)
         hop_window = (
-            window if seeds.shape[0] * k >= window_min_slots else None
+            window
+            if (
+                graph.probs is not None
+                or seeds.shape[0] * k >= window_min_slots
+            )
+            else None
         )
         nb = sample_neighbors(
             graph, seeds, k, replace, keys[i],

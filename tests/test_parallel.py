@@ -379,3 +379,50 @@ def test_two_tier_dist_trainer_end_to_end():
         jnp.ones(B, bool), jax.random.key(2),
     )
     assert int(t) == B and 0 <= int(c) <= B
+
+
+def test_dist_train_step_multi_matches_sequential(mesh):
+    """DistTrainer.train_step_multi(U) vs U sequential train_step calls:
+    same params (float-noise tolerance) and summed overflow counters."""
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1200, avg_degree=8, feature_dim=12, num_classes=3,
+        train_frac=0.4, seed=9,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    store = ShardedFeatureStore(arrays["features"], mesh)
+    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
+    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    labels = jax.device_put(labels_padded, NamedSharding(mesh, P("data", None)))
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    trainer = DistTrainer(model=model, fan_out=(3, 3), store=store)
+    n = mesh.shape["data"]
+    B = 16 * n
+    train = arrays["train_idx"]
+    rng = np.random.default_rng(0)
+    batches = [
+        jnp.asarray(train[rng.choice(len(train), B, replace=False)])
+        for _ in range(3)
+    ]
+    mask = jnp.ones(B, bool)
+    key = jax.random.key(5)
+
+    st_seq = trainer.init_state(jax.random.key(0))
+    ovf = 0
+    for s in batches:
+        st_seq, m = trainer.train_step(st_seq, graph, labels, s, mask, key)
+        ovf += int(m["overflow"])
+
+    st_multi = trainer.init_state(jax.random.key(0))
+    sU = jnp.stack(batches)
+    mU = jnp.stack([mask] * 3)
+    st_multi, m_multi = trainer.train_step_multi(
+        st_multi, graph, labels, sU, mU, key
+    )
+    assert int(st_multi.step) == int(st_seq.step) == 3
+    for a, b in zip(jax.tree.leaves(st_seq.params),
+                    jax.tree.leaves(st_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(m_multi["overflow"]) == ovf

@@ -569,3 +569,122 @@ def test_window_pair_layout_identical():
                                 window=16, big_row_budget=64)
         np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+class TestBiasedGumbelWindowed:
+    """Windowed Gumbel top-k weighted sampler (one probs/ids window fetch
+    per row instead of per draw) — distribution parity with the A-Res
+    oracle across all three levels (L1 window / L2 wide window / alias
+    tail)."""
+
+    def make(self, weights, pad_edges=0):
+        d = len(weights)
+        # row 0 has the weighted edges; optional padding edges afterwards
+        # push num_edges up so windows are real
+        extra = np.ones(pad_edges, np.float32)
+        indptr = np.concatenate(
+            [[0, d], np.linspace(d, d + pad_edges, 16).astype(np.int64)]
+        ).astype(np.int64)
+        indices = np.concatenate(
+            [(np.arange(d) + 10), np.zeros(pad_edges)]
+        ).astype(np.int32)
+        hg = HostGraph(
+            indptr=indptr, indices=indices,
+            probs=np.concatenate([np.asarray(weights, np.float32), extra]),
+        )
+        return hg.to_device(with_alias=True)
+
+    def oracle(self, w, k, O=30000):
+        rngen = np.random.default_rng(0)
+        wa = np.asarray(w, np.float64)
+        oracle = np.zeros(len(w))
+        for _ in range(O):
+            keys = rngen.random(len(w)) ** (1 / wa)
+            oracle[np.argsort(-keys)[:k]] += 1
+        return oracle / O
+
+    def _check(self, g, w, k, window, budget, T=4000):
+        from dist_gnn_tpu.ops.sampling import sample_biased_windowed
+
+        out = sample_biased_windowed(
+            g, jnp.zeros((T,), jnp.int32), k=k, key=jax.random.key(9),
+            window=window, big_row_budget=budget,
+        )
+        ids, mask = np.asarray(out.ids), np.asarray(out.mask)
+        assert int(out.overflow) == 0
+        assert mask.mean() > 0.999
+        for row, m in zip(ids, mask):
+            assert len(set(row[m])) == m.sum()
+            assert all(10 <= x < 10 + len(w) for x in row[m])
+        incl = [(ids == 10 + i).any(axis=1).mean() for i in range(len(w))]
+        np.testing.assert_allclose(incl, self.oracle(w, k), atol=0.03)
+
+    def test_level1_matches_ares_oracle(self):
+        w = [8, 4, 2, 1, 1, 1, 1, 1, 0.5, 0.5]
+        g = self.make(w, pad_edges=500)
+        self._check(g, w, 2, window=(16, 64), budget=(64, 16))
+
+    def test_level2_matches_ares_oracle(self):
+        # deg 40 > 2*W1=16 -> every row cascades to level 2 (W2=64)
+        w = list(np.linspace(8, 0.5, 40))
+        g = self.make(w, pad_edges=500)
+        self._check(g, w, 3, window=(8, 64), budget=(4096, 64))
+
+    def test_tail_matches_ares_oracle(self):
+        # deg 40 > 2*W2=32 -> every row goes through the alias tail
+        w = list(np.linspace(8, 0.5, 40))
+        g = self.make(w, pad_edges=500)
+        self._check(g, w, 3, window=(8, 16), budget=(4096, 4096))
+
+    def test_budget_overflow_counted(self):
+        from dist_gnn_tpu.ops.sampling import sample_biased_windowed
+
+        w = list(np.linspace(8, 0.5, 40))
+        g = self.make(w, pad_edges=500)
+        T, k = 256, 3
+        out = sample_biased_windowed(
+            g, jnp.zeros((T,), jnp.int32), k=k, key=jax.random.key(1),
+            window=(8, 16), big_row_budget=(16, 4),  # way undersized
+        )
+        # all rows need the tail; only 4 slots exist -> the rest counted
+        assert int(out.overflow) > 0
+        served = np.asarray(out.mask).any(axis=1).sum()
+        assert served <= 16  # at most R1 rows entered level 2/tail
+        assert int(out.overflow) == (T - 4) * k  # (T-16)*k at L1 + (16-4)*k at L2
+
+    def test_dispatch_via_sample_neighbors(self):
+        from dist_gnn_tpu.ops.sampling import sample_neighbors
+
+        w = [8, 4, 2, 1, 1, 1, 1, 1]
+        g = self.make(w, pad_edges=500)
+        out = sample_neighbors(
+            g, jnp.zeros((64,), jnp.int32), 2, False, jax.random.key(2),
+            window=(16, 64), big_row_budget=(64, 16),
+        )
+        assert np.asarray(out.mask).all()
+
+
+def test_topk_hier_matches_lax_topk():
+    from dist_gnn_tpu.ops.sampling import _topk_hier
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((64, 2048)).astype(np.float32))
+    v0, p0 = jax.lax.top_k(x, 15)
+    v1, p1 = _topk_hier(x, 15)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # non-multiple width falls back to plain top_k
+    y = x[:, :300]
+    v2, p2 = _topk_hier(y, 7)
+    v3, p3 = jax.lax.top_k(y, 7)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))
+
+
+def test_gumbel_windowed_wide_level2_hier_topk():
+    """L2 wide enough (2W2=1024) to engage the hierarchical top-k."""
+    from dist_gnn_tpu.ops.sampling import sample_biased_windowed
+
+    t = TestBiasedGumbelWindowed()
+    w = list(np.linspace(8, 0.5, 40))
+    g = t.make(w, pad_edges=3000)
+    t._check(g, w, 3, window=(8, 512), budget=(4096, 64), T=2000)
