@@ -222,12 +222,14 @@ def main():
         )
         trainer_g = Trainer(
             model=gat, fan_out=fan_out, dedup_last=False,
-            sampler_window=128, sampler_big_budget=5120, gather_group=0,
+            frontier_caps=(3072, 26624, 10**9),
+            sampler_window=(128, 1024), sampler_big_budget=(5120, 1024),
         )
         extras["gat_edges_per_s"] = round(
             measure_secondary(
                 trainer_g, graph, features,
-                dict(window=128, big_row_budget=5120),
+                dict(window=(128, 1024), big_row_budget=(5120, 1024),
+                     frontier_caps=(3072, 26624, 10**9)),
             ),
             1,
         )

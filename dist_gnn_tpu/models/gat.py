@@ -62,15 +62,25 @@ class GAT:
         return params
 
     def _project(self, p, h, d_out: int):
-        """Shared SDDMM prologue: (z [S, H, d], el [S, H], er [S, H]) —
-        used by block training and full-graph inference."""
+        """Shared SDDMM prologue: (z [S, H*d] FLAT, el [S, H], er [S, H]).
+
+        el/er are computed as ONE [H*d, 2H] block-diagonal matmul on the
+        flat z instead of per-head einsums over a [S, H, d] reshape: the
+        reshape puts H(=4) on the sublane axis (>=50% VPU waste at H<8)
+        and measured 0.88 ms/step slower at bench shapes (probe_step24:
+        flat matmul 0.48 ms vs reshape einsums 1.36 ms)."""
         cd = self.compute_dtype
         w = p["w"] if cd is None else p["w"].astype(cd)
         z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
-        z = z.reshape(z.shape[0], self.num_heads, d_out)
-        el = jnp.einsum("shd,hd->sh", z, p["a_l"].astype(z.dtype))
-        er = jnp.einsum("shd,hd->sh", z, p["a_r"].astype(z.dtype))
-        return z, el, er
+        H = self.num_heads
+        eye = jnp.eye(H, dtype=z.dtype)
+        al = jnp.einsum("hd,hg->hdg", p["a_l"].astype(z.dtype), eye)
+        ar = jnp.einsum("hd,hg->hdg", p["a_r"].astype(z.dtype), eye)
+        A = jnp.concatenate(
+            [al.reshape(H * d_out, H), ar.reshape(H * d_out, H)], axis=1
+        )
+        eler = jnp.dot(z, A, preferred_element_type=jnp.float32)  # [S, 2H]
+        return z, eler[:, :H], eler[:, H:]
 
     def _combine(self, p, out, d_out: int, last: bool):
         """Head combine + bias (+ activation on hidden layers)."""
@@ -78,6 +88,17 @@ class GAT:
         if last:
             return jnp.mean(out, axis=1) + p["b"].reshape(H, d_out).mean(0)
         h = out.reshape(out.shape[0], H * d_out) + p["b"]
+        return jax.nn.elu(h)
+
+    def _combine_heads(self, p, outs, d_out: int, last: bool):
+        """:meth:`_combine` on a per-head list of [S, d] (flat path)."""
+        H = self.num_heads
+        if last:
+            mean = outs[0]
+            for o in outs[1:]:
+                mean = mean + o
+            return mean / H + p["b"].reshape(H, d_out).mean(0)
+        h = jnp.concatenate(outs, axis=1) + p["b"]
         return jax.nn.elu(h)
 
     def apply(
@@ -97,7 +118,7 @@ class GAT:
             d_in, d_out, last = self.dims[l]
             p = params[f"layer{l}"]
             # SDDMM: per-edge unnormalised scores on the sampled block
-            z, el_all, er = self._project(p, h, d_out)
+            z, el_all, er = self._project(p, h, d_out)  # z FLAT [*, H*d]
             el = el_all[: block.num_dst]  # [S, H]
             S_, k_ = block.neigh_mask.shape
             if l == 0 and contiguous_first:
@@ -109,17 +130,32 @@ class GAT:
             )
             alpha = masked_segment_softmax(scores, block.neigh_mask)  # [S, k, H]
             if l == 0 and contiguous_first:
-                z_n = z[block.num_dst :].reshape(S_, k_, H, d_out)
-            else:
-                z_n = z[block.neigh_slots]  # [S, k, H, d_out]
-            # contraction over k as einsum, NOT sum(z_n * alpha[..., None]):
-            # the broadcasted product materializes a [S, k, H, d] tensor
-            # (436 MB at bench shapes) in fwd AND bwd; the einsum lets XLA
-            # fuse the reduce
-            out = jnp.einsum(
-                "skh,skhd->shd", alpha.astype(z_n.dtype), z_n,
-                preferred_element_type=jnp.float32,
-            ).astype(z_n.dtype)  # [S, H, d_out]
+                # per-head aggregation over 128-lane slices of the FLAT z:
+                # the [S, k, H, d] form puts H on the sublane axis (>=50%
+                # VPU waste at H=4) and its alpha broadcast re-materializes
+                # the whole tensor; per-head slices keep clean (k, d)
+                # tiling.  Layer-0 fwd measured 7.6 -> ~2 ms (probe_step24)
+                z_nb = z[block.num_dst :]
+                outs = [
+                    jnp.sum(
+                        z_nb[:, hh * d_out : (hh + 1) * d_out].reshape(
+                            S_, k_, d_out
+                        )
+                        * alpha[:, :, hh, None].astype(z.dtype),
+                        axis=1,
+                    )
+                    for hh in range(H)
+                ]
+                h = self._combine_heads(p, outs, d_out, last)
+                if not last and train and self.dropout > 0:
+                    assert rng is not None
+                    rng, sub = jax.random.split(rng)
+                    keep = dropout_keep(sub, h.shape, 1 - self.dropout)
+                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+                h = h.astype(x.dtype)
+                continue
+            z_n = z[block.neigh_slots].reshape(S_, k_, H, d_out)
+            out = jnp.sum(z_n * alpha[..., None].astype(z_n.dtype), axis=1)
             h = self._combine(p, out, d_out, last)
             if not last and train and self.dropout > 0:
                 assert rng is not None

@@ -142,6 +142,9 @@ def full_graph_inference(
         if is_gat:
             d_out, last = model.dims[l][1], model.dims[l][2]
             z, el, er = model._project(p, h, d_out)
+            # _project returns FLAT z [N, H*d]; the span aggregator wants
+            # the per-head view
+            z = z.reshape(z.shape[0], model.num_heads, d_out)
         outs = []
         for lo in range(0, N, node_chunk):
             num = min(node_chunk, N - lo)

@@ -1,9 +1,10 @@
 """Checkpoint / resume.
 
 The reference has none (SURVEY.md §5: training scripts never save the
-model).  Here: orbax-based when available, with a dependency-free .npz
-fallback that flattens the state pytree by key path.  Both paths
-round-trip TrainState (params, opt_state, step) exactly.
+model).  Here: a dependency-free .npz format that flattens the state
+pytree by key path and round-trips TrainState (params, opt_state, step)
+exactly, with shape validation against the restoring model/optimizer
+template.
 """
 
 from __future__ import annotations

@@ -29,7 +29,7 @@ enable_compile_cache()
 from dist_gnn_tpu.ops.spmm import masked_segment_softmax
 from dist_gnn_tpu.utils.timing import measure_op
 
-S, K, H, D = 26_624, 16, 4, 128
+S, K, H, D = 26_624, 15, 4, 128
 F = 425_984  # frontier rows
 IN = 100
 

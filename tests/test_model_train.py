@@ -398,3 +398,56 @@ def test_raw_gather_matches_masked_gather():
         c_r = tr_raw.eval_step(st_m.params, graph, features, labels,
                                seeds, mask, jax.random.key(2))
         assert int(c_m[0]) == int(c_r[0]) and int(c_m[1]) == int(c_r[1])
+
+
+def test_gcn_layer_matches_oracle():
+    """GCN block layer vs a numpy oracle of the symmetric-normalised rule."""
+    from dist_gnn_tpu.models import GCN
+
+    S, k, cap, F = 8, 4, 20, 6
+    block = make_block(S, k, cap, seed=4, full=False)
+    x = np.random.default_rng(2).standard_normal((cap, F)).astype(np.float32)
+    model = GCN(F, 5, 3, 1, dropout=0.0)
+    params = model.init(jax.random.key(0))
+    out = np.asarray(model.apply(params, [block], jnp.asarray(x), train=False))
+
+    slots = np.asarray(block.neigh_slots)
+    mask = np.asarray(block.neigh_mask)
+    deg = mask.sum(axis=1) + 1.0
+    src_deg = np.ones(cap)
+    src_deg[:S] = deg
+    agg = np.zeros((S, F))
+    for i in range(S):
+        for j in range(k):
+            if mask[i, j]:
+                agg[i] += x[slots[i, j]] / np.sqrt(deg[i] * src_deg[slots[i, j]])
+        agg[i] += x[i] / deg[i]
+    ref = agg @ np.asarray(params["layer0"]["w"]) + np.asarray(params["layer0"]["b"])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_end_to_end_training_learns():
+    from dist_gnn_tpu.models import GCN
+
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1500, avg_degree=8, feature_dim=16, num_classes=4,
+        train_frac=0.4, seed=6,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    features = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    model = GCN(meta["feature_dim"], 24, meta["num_classes"], 2, dropout=0.0)
+    for dedup_last in (True, False):
+        trainer = Trainer(model=model, fan_out=(4, 4), dedup_last=dedup_last)
+        state = trainer.init_state(jax.random.key(0))
+        gen = SeedGenerator(arrays["train_idx"], 128, shuffle=True)
+        losses = []
+        for epoch in range(6):
+            for seeds, mask in gen.epoch(jax.random.key(40 + epoch)):
+                state, m = trainer.train_step(
+                    state, graph, features, labels, seeds, mask,
+                    jax.random.key(epoch),
+                )
+                losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.8, (dedup_last, losses[0], losses[-1])
