@@ -88,29 +88,16 @@ def _window_select_multi(
     """
     B, k = sel.shape
     n_rows = -(-num_edges // W)
-    pad = n_rows * W - num_edges
     r0 = jnp.clip((start // W).astype(jnp.int32), 0, max(n_rows - 2, 0))
     adj = (start - (r0.astype(start.dtype) * W))[:, None] + sel  # [B, k]
     covered = mask & (adj < 2 * W)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * W), 2)
     hitmask = w_iota == jnp.clip(adj, 0, 2 * W - 1)[:, :, None]  # [B, k, 2W]
-    pair = None
-    vals = []
-    for i, flat in enumerate(arrays):
-        p = pairs[i] if pairs is not None else None
-        if p is not None:
-            C, rows_a = p
-            pair_row = jnp.where(
-                r0 % 2 == 0, r0 // 2, rows_a + (r0 - 1) // 2
-            )  # XLA CSEs repeats across arrays sharing a layout
-            win = C[pair_row]  # [B, 2W] — one row per seed
-        else:
-            if pair is None:
-                pair = jnp.stack([r0, r0 + 1], axis=1)  # [B, 2]
-            if pad:
-                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-            win = flat.reshape(n_rows, W)[pair].reshape(B, 2 * W)  # [B, 2W]
-        vals.append(jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2))
+    wins, _ = _window_select_raw(arrays, num_edges, r0, W, pairs=pairs)
+    vals = [
+        jnp.sum(jnp.where(hitmask, win[:, None, :], 0), axis=2)
+        for win in wins
+    ]
     return vals, covered
 
 

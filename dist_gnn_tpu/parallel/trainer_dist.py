@@ -119,9 +119,15 @@ class DistTrainer:
         keys = jax.random.split(key, len(self.fan_out))
         n_shards = self.store.num_shards
         for i, k in enumerate(reversed(list(self.fan_out))):
+            # biased hops always take the window (sampler.sample_blocks
+            # rationale: the windowed Gumbel path fetches per ROW, the
+            # elementwise alias path per DRAW)
             hop_window = (
                 self.sampler_window
-                if seeds.shape[0] * k >= self.window_min_slots
+                if (
+                    self.sgraph.probs is not None
+                    or seeds.shape[0] * k >= self.window_min_slots
+                )
                 else None
             )
             nb, ovf = sample_neighbors_cached(

@@ -15,6 +15,7 @@ Runs:
   whole mesh:         python node_classification.py --dist
   weighted sampling:  python node_classification.py --bias
   GAT aggregation:    python node_classification.py --model gat
+  GCN aggregation:    python node_classification.py --model gcn
   bigger-than-HBM:    python node_classification.py --tier host
   3-tier mesh:        python node_classification.py --tier dist-host
 """
@@ -37,7 +38,7 @@ def parse_args():
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--fan-out", default="10,10")
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--model", default="sage", choices=["sage", "gat"])
+    ap.add_argument("--model", default="sage", choices=["sage", "gat", "gcn"])
     ap.add_argument("--bias", action="store_true", help="weighted sampling")
     ap.add_argument("--replace", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="bf16 features+compute")
@@ -195,7 +196,7 @@ def main():
     from dist_gnn_tpu.dataloading import SeedGenerator
     from dist_gnn_tpu.dataloading.preprocess import load_dataset, make_synthetic_dataset
     from dist_gnn_tpu.graph import HostGraph
-    from dist_gnn_tpu.models import GAT, SAGE
+    from dist_gnn_tpu.models import GAT, GCN, SAGE
     from dist_gnn_tpu.training import Trainer
     from dist_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
     from dist_gnn_tpu.utils.metrics import MetricsLogger
@@ -233,7 +234,7 @@ def main():
         f"devices={len(jax.devices())} dist={args.dist}"
     )
 
-    model_cls = SAGE if args.model == "sage" else GAT
+    model_cls = {"sage": SAGE, "gat": GAT, "gcn": GCN}[args.model]
     kwargs = dict(compute_dtype=compute_dtype)
     model = model_cls(
         in_feats=meta["feature_dim"],
