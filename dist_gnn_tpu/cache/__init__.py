@@ -4,3 +4,8 @@ from dist_gnn_tpu.cache.policy import (  # noqa: F401
     get_cache_nids_selfish,
     get_cache_nids_selfless,
 )
+from dist_gnn_tpu.cache.autotune import (  # noqa: F401
+    SamplerConfig,
+    tune_sampler,
+    tune_sampler_for,
+)

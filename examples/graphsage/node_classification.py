@@ -44,6 +44,10 @@ def parse_args():
     ap.add_argument("--bf16", action="store_true", help="bf16 features+compute")
     ap.add_argument("--frontier-caps", default=None,
                     help="comma budgets per hop (sampling order)")
+    ap.add_argument("--autotune", action="store_true",
+                    help="derive window/budget/frontier-cap knobs from the "
+                         "graph (cache.autotune.tune_sampler; overrides "
+                         "--frontier-caps)")
     ap.add_argument("--dist", action="store_true",
                     help="shard over all devices (features+structure+DP)")
     ap.add_argument("--tier", default="hbm",
@@ -286,8 +290,19 @@ def main():
         graph = hg.to_device(with_alias=args.bias and hg.probs is not None)
         features = jnp.asarray(np.asarray(arrays["features"])).astype(feat_dtype)
         labels_1d = jnp.asarray(np.asarray(arrays["labels"], dtype=np.int32))
+        tuner_kw = {}
+        if args.autotune:
+            from dist_gnn_tpu.cache.autotune import tune_sampler_for
+
+            cfg = tune_sampler_for(
+                hg, np.asarray(arrays["train_idx"]), args.batch_size, fan_out
+            )
+            print(f"autotuned sampler config: {cfg}")
+            tuner_kw = cfg.trainer_kwargs()
+            caps = None
         trainer = Trainer(
-            model=model, fan_out=fan_out, replace=args.replace, frontier_caps=caps
+            model=model, fan_out=fan_out, replace=args.replace,
+            **(tuner_kw or dict(frontier_caps=caps)),
         )
         step_fn = lambda st, seeds, mask, key: trainer.train_step(
             st, graph, features, labels_1d, seeds, mask, key

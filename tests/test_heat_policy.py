@@ -1,5 +1,6 @@
 """Heat propagation + cache policy vs numpy oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -198,3 +199,72 @@ def test_calibrate_ici_runs_on_mesh():
 
     bw = calibrate_ici(make_mesh(), mbytes=1)
     assert bw > 0
+
+
+class TestAutotune:
+    def test_tuned_config_is_lossless_and_tight(self):
+        """tune_sampler's budgets must hold (overflow 0) on fresh batches
+        of the real sampler, while staying well under worst-case pads."""
+        from dist_gnn_tpu.cache.autotune import tune_sampler_for
+        from dist_gnn_tpu.dataloading import SeedGenerator
+        from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+        from dist_gnn_tpu.sampler import sample_blocks
+
+        arrays, meta = make_synthetic_dataset(
+            num_nodes=20_000, avg_degree=20, feature_dim=4, num_classes=3,
+            train_frac=0.3, seed=11,
+        )
+        hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+        fan_out = (8, 6, 4)
+        cfg = tune_sampler_for(hg, arrays["train_idx"], 256, fan_out)
+        w1, w2 = cfg.window
+        assert 32 <= w1 < w2
+        r1, r2 = cfg.big_row_budget
+        assert r1 >= 256 and r2 >= 128
+        # hop caps: tighter than the worst-case pad, roomier than the batch
+        worst = 256
+        for i, k in enumerate(reversed(fan_out)):
+            if i < len(fan_out) - 1:
+                assert 256 < cfg.frontier_caps[i] <= worst * (k + 1)
+            worst = min(cfg.frontier_caps[i], worst * (k + 1))
+
+        graph = hg.to_device()
+        gen = SeedGenerator(arrays["train_idx"], 256, shuffle=True,
+                            drop_last=True)
+        it = gen.epoch(jax.random.key(5))
+        for t in range(4):
+            seeds, mask = next(it)
+            _, stats = sample_blocks(
+                graph, seeds, mask, fan_out, False, jax.random.key(70 + t),
+                dedup_last=False, **cfg.sampler_kwargs(),
+            )
+            assert int(stats["sampler_overflow"]) == 0
+            assert int(stats["frontier_overflow"]) == 0
+
+    def test_tuned_config_biased_graph(self):
+        """The same tuned budgets hold for the windowed-Gumbel biased path."""
+        from dist_gnn_tpu.cache.autotune import tune_sampler_for
+        from dist_gnn_tpu.dataloading import SeedGenerator
+        from dist_gnn_tpu.dataloading.preprocess import (add_random_probs,
+                                                         make_synthetic_dataset)
+        from dist_gnn_tpu.sampler import sample_blocks
+
+        arrays, meta = make_synthetic_dataset(
+            num_nodes=8_000, avg_degree=15, feature_dim=4, num_classes=3,
+            train_frac=0.3, seed=12,
+        )
+        hg = HostGraph(
+            indptr=arrays["indptr"], indices=arrays["indices"],
+            probs=add_random_probs(int(meta["num_edges"])),
+        )
+        cfg = tune_sampler_for(hg, arrays["train_idx"], 128, (6, 4))
+        graph = hg.to_device(with_alias=True)
+        gen = SeedGenerator(arrays["train_idx"], 128, shuffle=True,
+                            drop_last=True)
+        seeds, mask = next(gen.epoch(jax.random.key(9)))
+        _, stats = sample_blocks(
+            graph, seeds, mask, (6, 4), False, jax.random.key(3),
+            dedup_last=False, **cfg.sampler_kwargs(),
+        )
+        assert int(stats["sampler_overflow"]) == 0
+        assert int(stats["frontier_overflow"]) == 0
