@@ -53,6 +53,43 @@ def _mean_aggregate_span(
     return acc / jnp.maximum(deg, 1)[:, None]
 
 
+@partial(jax.jit, static_argnames=("num_dst", "edge_chunk"))
+def _gcn_aggregate_span(
+    indptr, indices, h, inv_sqrt, dst_lo, num_dst: int, edge_lo, edge_hi,
+    edge_chunk: int,
+):
+    """Symmetric-normalised GCN aggregation for dst rows
+    [dst_lo, dst_lo + num_dst) with TRUE full-graph degrees:
+
+        agg_i = 1/sqrt(deg_i+1) * sum_j h_j / sqrt(deg_j+1)  +  h_i/(deg_i+1)
+
+    ``inv_sqrt`` is the precomputed [N] vector 1/sqrt(deg+1)."""
+    F = h.shape[1]
+    nnz = indices.shape[0]
+    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
+    deg = (local_ptr[1:] - local_ptr[:-1]).astype(h.dtype)
+    inv_dst = jax.lax.dynamic_slice(inv_sqrt, (dst_lo,), (num_dst,))
+
+    def body(c, acc):
+        base = edge_lo + c * edge_chunk
+        off = base + jnp.arange(edge_chunk, dtype=local_ptr.dtype)
+        valid = off < edge_hi
+        off_c = jnp.clip(off, 0, nnz - 1)
+        src = jnp.where(valid, indices[off_c], 0)
+        rows = (
+            jnp.searchsorted(local_ptr, off_c, side="right") - 1
+        ).astype(jnp.int32)
+        msg = jnp.where(valid[:, None], h[src] * inv_sqrt[src][:, None], 0)
+        return acc + jax.ops.segment_sum(
+            msg, jnp.clip(rows, 0, num_dst - 1), num_segments=num_dst
+        )
+
+    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
+    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((num_dst, F), h.dtype))
+    h_dst = jax.lax.dynamic_slice(h, (dst_lo, 0), (num_dst, F))
+    return acc * inv_dst[:, None].astype(h.dtype) + h_dst / (deg + 1)[:, None]
+
+
 @partial(jax.jit, static_argnames=("num_dst", "edge_chunk", "negative_slope"))
 def _gat_aggregate_span(
     indptr, indices, z, el, er, dst_lo, num_dst: int, edge_lo, edge_hi,
@@ -122,6 +159,9 @@ def full_graph_inference(
 ) -> jnp.ndarray:
     """Layer-wise full-neighborhood forward; returns final-layer output [N, C].
 
+    Supports all three model families: SAGE (mean), GAT (online-softmax
+    attention), GCN (symmetric-normalised with true full-graph degrees).
+
     Host loop over layers × dst chunks; each chunk call is one jit with
     static shapes (the edge-span length is a traced fori bound, so chunk
     calls share one executable per node-chunk size).
@@ -134,9 +174,12 @@ def full_graph_inference(
     h = features
 
     is_gat = hasattr(model, "_project")
-    assert is_gat or hasattr(model, "_layer_forward"), (
-        "full_graph_inference supports SAGE (mean) and GAT (attention)"
-    )
+    is_gcn = (not is_gat) and not hasattr(model, "_layer_forward")
+    if is_gcn:
+        # true full-graph degrees (the sampled-block trainer uses valid slot
+        # counts; layer-wise inference uses the exact propagation rule)
+        deg_all = (indptr[1:] - indptr[:-1]).astype(h.dtype)
+        inv_sqrt = 1.0 / jnp.sqrt(deg_all + 1)
     for l in range(len(model.dims)):
         p = params[f"layer{l}"]
         if is_gat:
@@ -156,6 +199,16 @@ def full_graph_inference(
                     edge_chunk, model.negative_slope,
                 )
                 out = model._combine(p, agg, d_out, last)
+            elif is_gcn:
+                agg = _gcn_aggregate_span(
+                    indptr, indices, h, inv_sqrt, lo, num, e_lo, e_hi,
+                    edge_chunk,
+                )
+                out = (
+                    jnp.dot(agg, p["w"].astype(agg.dtype),
+                            preferred_element_type=jnp.float32)
+                    + p["b"]
+                ).astype(agg.dtype)
             else:
                 h_mean = _mean_aggregate_span(
                     indptr, indices, h, lo, num, e_lo, e_hi, edge_chunk

@@ -451,3 +451,38 @@ def test_gcn_end_to_end_training_learns():
                 )
                 losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.8, (dedup_last, losses[0], losses[-1])
+
+
+def test_gcn_full_graph_inference_matches_oracle():
+    """Layer-wise GCN inference (true degrees) vs a numpy oracle."""
+    from dist_gnn_tpu.models import GCN
+    from dist_gnn_tpu.models.inference import full_graph_inference
+
+    rng = np.random.default_rng(13)
+    N, E, F = 260, 2600, 7
+    hg = HostGraph.from_coo(rng.integers(0, N, E), rng.integers(0, N, E), N)
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    model = GCN(F, 6, 3, 2, dropout=0.0)
+    params = model.init(jax.random.key(3))
+
+    out = np.asarray(
+        full_graph_inference(model, params, hg, jnp.asarray(feats),
+                             node_chunk=48, edge_chunk=128)
+    )
+
+    indptr = np.asarray(hg.indptr).astype(np.int64)
+    indices = np.asarray(hg.indices)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.float64)
+    h = feats.astype(np.float64)
+    for l in range(2):
+        p = params[f"layer{l}"]
+        agg = np.zeros((N, h.shape[1]))
+        for v in range(N):
+            nbrs = indices[indptr[v] : indptr[v + 1]]
+            for u in nbrs:
+                agg[v] += h[u] / np.sqrt((deg[v] + 1) * (deg[u] + 1))
+            agg[v] += h[v] / (deg[v] + 1)
+        h = agg @ np.asarray(p["w"], np.float64) + np.asarray(p["b"], np.float64)
+        if l != 1:
+            h = np.maximum(h, 0)
+    np.testing.assert_allclose(out, h, rtol=1e-3, atol=1e-4)
