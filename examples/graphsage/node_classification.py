@@ -427,13 +427,24 @@ def main():
             iteration_ms=t_full * 1e3,
         )
 
-    if args.full_eval and not args.dist:
-        from dist_gnn_tpu.models.inference import full_graph_inference
+    if args.full_eval:
+        if args.dist and args.model != "gat":
+            # sharded activations + ring rotation: the papers100M-scale path
+            from dist_gnn_tpu.parallel.inference_dist import (
+                dist_full_graph_inference,
+            )
 
-        logits = full_graph_inference(
-            model, state.params, hg, jnp.asarray(np.asarray(arrays["features"]))
-        )
-        pred = np.asarray(jnp.argmax(logits, axis=-1))
+            logits = dist_full_graph_inference(
+                model, state.params, hg, np.asarray(arrays["features"]), mesh
+            )
+        else:
+            from dist_gnn_tpu.models.inference import full_graph_inference
+
+            logits = full_graph_inference(
+                model, state.params, hg,
+                jnp.asarray(np.asarray(arrays["features"])),
+            )
+        pred = np.asarray(jnp.argmax(np.asarray(logits), axis=-1))
         test = np.asarray(arrays["test_idx"])
         acc = float((pred[test] == np.asarray(arrays["labels"])[test]).mean())
         print(f"full-graph test accuracy: {acc:.4f}")
