@@ -22,9 +22,11 @@ layer-wise on ONE GPU reading features over UVA,
 ``example/graphsage/utils/models.py:57-97``); this is the TPU-native
 analog that scales the same protocol past one chip.
 
-Supports SAGE (mean) and GCN (true-degree symmetric normalisation).
-GAT needs cross-rotation online softmax — see ``models/inference.py`` for
-the single-chip flash-style variant it would extend.
+Supports all three model families: SAGE (mean), GCN (true-degree
+symmetric normalisation), and GAT — whose softmax over each row's full
+in-neighborhood is computed *across rotations* with the same online
+(flash-style) renormalisation the single-chip variant uses across edge
+chunks (``models/inference._gat_aggregate_span``).
 """
 
 from __future__ import annotations
@@ -137,6 +139,68 @@ def _ring_aggregate(h, wsrc, srcl, dstr, valid, *, D, edge_chunk):
     return acc
 
 
+def _ring_gat_aggregate(
+    z, el, er, srcl, dstr, valid, *, D, edge_chunk, negative_slope
+):
+    """GAT attention aggregation with the softmax normalised over each dst
+    row's FULL in-neighborhood, accumulated across ring rotations AND edge
+    chunks with online (flash-style) renormalisation — the distributed
+    extension of ``models/inference._gat_aggregate_span``.
+
+    z [S, H, d] / el, er [S, H] are this device's projected block; the
+    (z, er) pair rotates around the ring.  Returns [S, H, d]."""
+    S, H, d = z.shape
+    srcl, dstr, valid = srcl[0], dstr[0], valid[0]
+    E = srcl.shape[1]
+    me = jax.lax.axis_index(_AX)
+    perm = [(i, (i - 1) % D) for i in range(D)]
+    n_chunks = E // edge_chunk
+    neg = jnp.float32(-1e30)
+
+    def rot(t, carry):
+        m, s, acc, zv, erv = carry
+        o = (me + t) % D
+        sl = jnp.take(srcl, o, axis=0)
+        dr = jnp.take(dstr, o, axis=0)
+        vd = jnp.take(valid, o, axis=0)
+
+        def chunk(c, mc):
+            m, s, acc = mc
+            i0 = c * edge_chunk
+            sl_c = jax.lax.dynamic_slice(sl, (i0,), (edge_chunk,))
+            dr_c = jax.lax.dynamic_slice(dr, (i0,), (edge_chunk,))
+            vd_c = jax.lax.dynamic_slice(vd, (i0,), (edge_chunk,))
+            score = jax.nn.leaky_relu(
+                (el[dr_c] + erv[sl_c]).astype(jnp.float32), negative_slope
+            )
+            score = jnp.where(vd_c[:, None], score, neg)
+            m_c = jax.ops.segment_max(score, dr_c, num_segments=S)
+            m_new = jnp.maximum(m, m_c)
+            scale = jnp.exp(m - m_new)
+            w = jnp.where(vd_c[:, None], jnp.exp(score - m_new[dr_c]), 0.0)
+            s = s * scale + jax.ops.segment_sum(w, dr_c, num_segments=S)
+            contrib = jax.ops.segment_sum(
+                w[:, :, None] * zv[sl_c].astype(jnp.float32),
+                dr_c,
+                num_segments=S,
+            )
+            acc = acc * scale[..., None] + contrib
+            return m_new, s, acc
+
+        m, s, acc = jax.lax.fori_loop(0, n_chunks, chunk, (m, s, acc))
+        zv = jax.lax.ppermute(zv, _AX, perm)
+        erv = jax.lax.ppermute(erv, _AX, perm)
+        return m, s, acc, zv, erv
+
+    varying = lambda x: jax.lax.pcast(x, (_AX,), to="varying")
+    m0 = varying(jnp.full((S, H), neg, jnp.float32))
+    s0 = varying(jnp.zeros((S, H), jnp.float32))
+    a0 = varying(jnp.zeros((S, H, d), jnp.float32))
+    _, s, acc, _, _ = jax.lax.fori_loop(0, D, rot, (m0, s0, a0, z, er))
+    out = acc / jnp.maximum(s, 1e-12)[..., None]
+    return out.astype(z.dtype)
+
+
 def dist_full_graph_inference(
     model,
     params,
@@ -173,10 +237,6 @@ def dist_full_graph_inference(
 
     is_gat = hasattr(model, "_project")
     is_gcn = (not is_gat) and not hasattr(model, "_layer_forward")
-    assert not is_gat, (
-        "dist_full_graph_inference supports SAGE and GCN; GAT full-graph "
-        "inference is single-chip only (models/inference.py)"
-    )
     if is_gcn:
         inv_sqrt = (1.0 / np.sqrt(deg + 1)).astype(np.float32)
         wsrc_d = jax.device_put(inv_sqrt, shard_vec)
@@ -186,6 +246,15 @@ def dist_full_graph_inference(
     @partial(jax.jit, static_argnames=("l", "last"))
     def layer(h, wsrc, deg_blk, srcl, dstr, valid, p, *, l: int, last: bool):
         def body(h_blk, wsrc_blk, deg_b, sl, dr, vd, p):
+            if is_gat:
+                d_out = model.dims[l][1]
+                z, el, er = model._project(p, h_blk, d_out)
+                z = z.reshape(z.shape[0], model.num_heads, d_out)
+                agg = _ring_gat_aggregate(
+                    z, el, er, sl, dr, vd, D=D, edge_chunk=edge_chunk,
+                    negative_slope=model.negative_slope,
+                )
+                return model._combine(p, agg, d_out, last)
             agg = _ring_aggregate(
                 h_blk, wsrc_blk, sl, dr, vd, D=D, edge_chunk=edge_chunk
             )

@@ -428,7 +428,7 @@ def main():
         )
 
     if args.full_eval:
-        if args.dist and args.model != "gat":
+        if args.dist:
             # sharded activations + ring rotation: the papers100M-scale path
             from dist_gnn_tpu.parallel.inference_dist import (
                 dist_full_graph_inference,

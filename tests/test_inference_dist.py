@@ -83,3 +83,17 @@ def test_dist_inference_two_tier_mesh_reflattens():
                              node_chunk=64, edge_chunk=128)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dist_inference_matches_single_chip_gat():
+    from dist_gnn_tpu.models import GAT
+
+    hg, feats = _graph(N=400, E=5000, F=8, seed=11)
+    model = GAT(feats.shape[1], 5, 3, 2, num_heads=3, dropout=0.0)
+    params = model.init(jax.random.key(4))
+    ref = np.asarray(
+        full_graph_inference(model, params, hg, jnp.asarray(feats),
+                             node_chunk=128, edge_chunk=256)
+    )
+    out = dist_full_graph_inference(model, params, hg, feats, edge_chunk=128)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
