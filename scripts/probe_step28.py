@@ -1,0 +1,149 @@
+"""Probe: dissect hop-3 uniform sampling (26624 seeds, k=15) into its
+pipeline stages to find where the ~2.5 ms goes.
+
+Run in background; writes /tmp/probe28.log
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_gnn_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
+from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+from dist_gnn_tpu.graph import HostGraph
+from dist_gnn_tpu.ops import prng
+from dist_gnn_tpu.ops.sampling import (
+    _compact_rows,
+    _row_extents,
+    _window_fetch,
+    _window_select_multi,
+    sample_uniform,
+)
+from dist_gnn_tpu.utils.timing import measure_op
+
+N = 500_000
+B, K = 26624, 15
+W = (128, 1024)
+R = (5120, 1024)
+
+
+def consume(tree):
+    tot = jnp.float32(0)
+    for leaf in jax.tree.leaves(tree):
+        tot = tot + jnp.sum(leaf.astype(jnp.float32))
+    return tot
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=N, avg_degree=30, feature_dim=100,
+        num_classes=47, train_frac=0.2, seed=0,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device(with_indptr_pairs=True, window_pair=128)
+    rng = np.random.default_rng(0)
+    seeds = jnp.asarray(rng.integers(0, N, B).astype(np.int32))
+    jax.block_until_ready(seeds)
+    key = jax.random.key(11)
+
+    def bench(name, fn, init=jnp.int32(0), iters=16, args=()):
+        dt = measure_op(fn, init, iters=iters, args=args)
+        print(f"{name:48s} {dt*1e3:8.3f} ms", flush=True)
+        return dt
+
+    # stage 1: row extents (one [B]-row pair gather)
+    def f_ext(c, graph):
+        s = (seeds + c) % (N - 1)
+        out = _row_extents(graph, s)
+        return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("extents (pair gather)", f_ext, args=(graph,))
+
+    # stage 2: PRNG (row keys + feistel perm [B, k])
+    def f_prng(c, graph):
+        s = (seeds + c) % (N - 1)
+        start, deg, valid = _row_extents(graph, s)
+        j = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+        row_key = prng.random_keys(key, (B,))
+        perm = prng.feistel_permutation(j, deg[:, None], row_key[:, None])
+        sel = jnp.where(deg[:, None] <= K, j, perm)
+        mask = valid[:, None] & (j < jnp.minimum(deg[:, None], K))
+        return (c + consume((sel, mask)).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("extents + feistel sel", f_prng, args=(graph,))
+
+    # pre-build fixed (start, sel, mask) once for the fetch-only stages
+    start, deg, valid = _row_extents(graph, seeds)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    row_key = prng.random_keys(key, (B,))
+    perm = prng.feistel_permutation(j, deg[:, None], row_key[:, None])
+    sel = jnp.where(deg[:, None] <= K, j, perm)
+    mask = valid[:, None] & (j < jnp.minimum(deg[:, None], K))
+    start, sel, mask = jax.block_until_ready((start, sel, mask))
+    pairs = ((graph.win_pair, graph.win_pair_rows_a),)
+
+    def f_l1(c, graph):
+        st = start + (c % 2)
+        vals, covered = _window_select_multi(
+            (graph.indices,), graph.num_edges, st, sel, mask, 128,
+            pairs=pairs,
+        )
+        return (c + consume((vals, covered)).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("L1 window select (fetch+hitmask)", f_l1, args=(graph,))
+
+    def f_compact(c, graph):
+        st = start + (c % 2)
+        vals, covered = _window_select_multi(
+            (graph.indices,), graph.num_edges, st, sel, mask, 128,
+            pairs=pairs,
+        )
+        unc = jnp.any(mask & ~covered, axis=1)
+        out = _compact_rows(st, sel, mask, unc, R[0])
+        return (c + consume((vals, out)).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("L1 + compact", f_compact, args=(graph,))
+
+    def f_fetch(c, graph):
+        st = start + (c % 2)
+        out = _window_fetch(graph, st, sel, mask, W, R)
+        return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("full _window_fetch (L1+L2+exact tail)", f_fetch, args=(graph,))
+
+    def f_fetch1(c, graph):
+        st = start + (c % 2)
+        out = _window_fetch(graph, st, sel, mask, 128, 5120)
+        return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("_window_fetch single-level (128, 5120)", f_fetch1, args=(graph,))
+
+    def f_full(c, graph):
+        s = (seeds + c) % (N - 1)
+        nb = sample_uniform(graph, s, K, False, key, window=W,
+                            big_row_budget=R)
+        return (c + consume(tuple(nb)).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("sample_uniform windowed (full)", f_full, args=(graph,))
+
+    def f_exact(c, graph):
+        s = (seeds + c) % (N - 1)
+        nb = sample_uniform(graph, s, K, False, key)
+        return (c + consume((nb.ids, nb.mask)).astype(jnp.int32) % 3 + 1) % 97
+
+    bench("sample_uniform elementwise (ref)", f_exact, args=(graph,))
+
+
+if __name__ == "__main__":
+    main()
