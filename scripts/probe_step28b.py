@@ -1,7 +1,7 @@
-"""Probe: dissect hop-3 uniform sampling (26624 seeds, k=15) into its
-pipeline stages to find where the ~2.5 ms goes.
+"""Probe 28b: just the tail stages of probe_step28 (full window fetch,
+full windowed sample_uniform, exact elementwise reference).
 
-Run in background; writes /tmp/probe28.log
+Run in background; writes /tmp/probe28b2.log
 """
 
 from __future__ import annotations
@@ -22,13 +22,7 @@ enable_compile_cache()
 from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
 from dist_gnn_tpu.graph import HostGraph
 from dist_gnn_tpu.ops import prng
-from dist_gnn_tpu.ops.sampling import (
-    _compact_rows,
-    _row_extents,
-    _window_fetch,
-    _window_select_multi,
-    sample_uniform,
-)
+from dist_gnn_tpu.ops.sampling import _row_extents, _window_fetch, sample_uniform
 from dist_gnn_tpu.utils.timing import measure_op
 
 N = 500_000
@@ -62,28 +56,6 @@ def main():
         print(f"{name:48s} {dt*1e3:8.3f} ms", flush=True)
         return dt
 
-    # stage 1: row extents (one [B]-row pair gather)
-    def f_ext(c, graph):
-        s = (seeds + c) % (N - 1)
-        out = _row_extents(graph, s)
-        return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
-
-    bench("extents (pair gather)", f_ext, args=(graph,))
-
-    # stage 2: PRNG (row keys + feistel perm [B, k])
-    def f_prng(c, graph):
-        s = (seeds + c) % (N - 1)
-        start, deg, valid = _row_extents(graph, s)
-        j = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-        row_key = prng.random_keys(key, (B,))
-        perm = prng.feistel_permutation(j, deg[:, None], row_key[:, None])
-        sel = jnp.where(deg[:, None] <= K, j, perm)
-        mask = valid[:, None] & (j < jnp.minimum(deg[:, None], K))
-        return (c + consume((sel, mask)).astype(jnp.int32) % 3 + 1) % 97
-
-    bench("extents + feistel sel", f_prng, args=(graph,))
-
-    # pre-build fixed (start, sel, mask) once for the fetch-only stages
     start, deg, valid = _row_extents(graph, seeds)
     j = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     row_key = prng.random_keys(key, (B,))
@@ -92,41 +64,13 @@ def main():
     mask = valid[:, None] & (j < jnp.minimum(deg[:, None], K))
     start, sel, mask = jax.block_until_ready((start, sel, mask))
 
-    def f_l1(c, graph, start, sel, mask):
-        st = start + (c % 2)
-        vals, covered = _window_select_multi(
-            (graph.indices,), graph.num_edges, st, sel, mask, 128,
-            pairs=((graph.win_pair, graph.win_pair_rows_a),),
-        )
-        return (c + consume((vals, covered)).astype(jnp.int32) % 3 + 1) % 97
-
-    bench("L1 window select (fetch+hitmask)", f_l1, args=(graph, start, sel, mask))
-
-    def f_compact(c, graph, start, sel, mask):
-        st = start + (c % 2)
-        vals, covered = _window_select_multi(
-            (graph.indices,), graph.num_edges, st, sel, mask, 128,
-            pairs=((graph.win_pair, graph.win_pair_rows_a),),
-        )
-        unc = jnp.any(mask & ~covered, axis=1)
-        out = _compact_rows(st, sel, mask, unc, R[0])
-        return (c + consume((vals, out)).astype(jnp.int32) % 3 + 1) % 97
-
-    bench("L1 + compact", f_compact, args=(graph, start, sel, mask))
-
     def f_fetch(c, graph, start, sel, mask):
         st = start + (c % 2)
         out = _window_fetch(graph, st, sel, mask, W, R)
         return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
 
-    bench("full _window_fetch (L1+L2+exact tail)", f_fetch, args=(graph, start, sel, mask))
-
-    def f_fetch1(c, graph, start, sel, mask):
-        st = start + (c % 2)
-        out = _window_fetch(graph, st, sel, mask, 128, 5120)
-        return (c + consume(out).astype(jnp.int32) % 3 + 1) % 97
-
-    bench("_window_fetch single-level (128, 5120)", f_fetch1, args=(graph, start, sel, mask))
+    bench("full _window_fetch (L1+L2+exact tail)", f_fetch,
+          args=(graph, start, sel, mask))
 
     def f_full(c, graph):
         s = (seeds + c) % (N - 1)
