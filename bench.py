@@ -54,7 +54,7 @@ def main():
     hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
     # indptr_pairs: one-row-gather extents (+8 B/node HBM, ~0.5 ms/step);
     # window_pair: one-row L1 window fetch (+4 B/edge HBM, ~0.2 ms/step)
-    graph = hg.to_device(with_indptr_pairs=True, window_pair=128)
+    graph = hg.to_device(with_indptr_pairs=True, window_pair=(128, 1024))
     features = jnp.asarray(arrays["features"])
     labels = jnp.asarray(arrays["labels"])
 
@@ -199,7 +199,9 @@ def main():
             indptr=arrays["indptr"], indices=arrays["indices"],
             probs=add_random_probs(int(meta["num_edges"])),
         )
-        graph_b = hg_b.to_device(with_alias=True, with_indptr_pairs=True)
+        graph_b = hg_b.to_device(
+            with_alias=True, with_indptr_pairs=True, window_pair=(128, 1024)
+        )
         trainer_b = Trainer(
             model=model, fan_out=fan_out, dedup_last=False,
             frontier_caps=(3072, 26624, 10**9),

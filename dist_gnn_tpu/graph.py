@@ -133,10 +133,29 @@ class HostGraph:
         window_pair: int = 0,
     ) -> "Graph":
         put = lambda x: jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
+
+        # Pad edge-aligned arrays to a multiple of 4096 ONCE so the windowed
+        # fetch (ops/sampling._window_select_raw) can reshape to any W<=2048
+        # row width without materialising a fresh padded copy of the whole
+        # edge array per call (60 MB per window level at papers-scale).
+        # indices pads with num_nodes (the same OOB sentinel the heat sweep
+        # uses for its own tail padding); padded slots are never *selected*
+        # by the window hitmask, only fetched.
+        _PADM = 4096
+        pad_n = (-self.num_edges) % _PADM
+
+        def pad_edges(arr, value):
+            if pad_n == 0:
+                return arr
+            return np.concatenate(
+                [arr, np.full((pad_n,), value, arr.dtype)]
+            )
+
         alias_prob = alias_idx = None
         if with_alias and self.probs is not None:
             ap, ai = self.build_alias_tables()
-            alias_prob, alias_idx = put(ap), put(ai)
+            alias_prob = put(pad_edges(ap, 0))
+            alias_idx = put(pad_edges(ai, 0))
         indptr_pairs = None
         if with_indptr_pairs:
             # [N, 2] (start, end) rows: one row gather per seed replaces two
@@ -146,25 +165,38 @@ class HostGraph:
             indptr_pairs = put(
                 np.stack([self.indptr[:-1], self.indptr[1:]], axis=1)
             )
-        win_pair = None
-        rows_a = 0
-        if window_pair:
+        def build_pair(W: int):
             # pair layout of `indices` at window W: concat of the two
             # 2W-aligned reshapes — any W-granular 2W-window is one row
             # (ops/sampling._window_select_multi).  Costs nnz*4B extra HBM.
-            W = int(window_pair)
             n1 = -(-self.num_edges // W)
             padded = np.zeros(n1 * W, np.int32)
             padded[: self.num_edges] = self.indices
-            rows_a = n1 // 2
+            ra = n1 // 2
             rows_b = (n1 - 1) // 2
-            view_a = padded[: rows_a * 2 * W].reshape(rows_a, 2 * W)
+            view_a = padded[: ra * 2 * W].reshape(ra, 2 * W)
             view_b = padded[W : W + rows_b * 2 * W].reshape(rows_b, 2 * W)
-            win_pair = put(np.concatenate([view_a, view_b], axis=0))
+            return put(np.concatenate([view_a, view_b], axis=0)), ra
+
+        win_pair = win_pair2 = None
+        rows_a = rows_a2 = 0
+        w1 = w2 = 0
+        if window_pair:
+            # int -> one level-1 layout; (W1, W2) -> a second layout for
+            # the hub-cascade level too (halves its fetched row count)
+            if isinstance(window_pair, (tuple, list)):
+                w1, w2 = int(window_pair[0]), int(window_pair[1])
+            else:
+                w1 = int(window_pair)
+            win_pair, rows_a = build_pair(w1)
+            if w2:
+                win_pair2, rows_a2 = build_pair(w2)
         return Graph(
             indptr=put(self.indptr),
-            indices=put(self.indices.astype(np.int32)),
-            probs=put(self.probs.astype(np.float32)) if self.probs is not None else None,
+            indices=put(pad_edges(self.indices.astype(np.int32), self.num_nodes)),
+            probs=put(pad_edges(self.probs.astype(np.float32), 0))
+            if self.probs is not None
+            else None,
             num_nodes=self.num_nodes,
             num_edges=self.num_edges,
             max_degree=self.max_degree,
@@ -172,8 +204,11 @@ class HostGraph:
             alias_idx=alias_idx,
             indptr_pairs=indptr_pairs,
             win_pair=win_pair,
-            win_pair_w=int(window_pair or 0),
+            win_pair_w=w1,
             win_pair_rows_a=rows_a,
+            win_pair2=win_pair2,
+            win_pair2_w=w2,
+            win_pair2_rows_a=rows_a2,
         )
 
 
@@ -204,6 +239,12 @@ class Graph:
     win_pair_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     # rows in the first (offset-0) view of win_pair
     win_pair_rows_a: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    # optional second pair layout at the hub-cascade window W2
+    win_pair2: Optional[jnp.ndarray] = None
+    win_pair2_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    win_pair2_rows_a: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
 

@@ -161,6 +161,7 @@ def _window_fetch_multi(
     window,  # int W, or (W1, W2) two-level cascade
     big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
     pairs=None,  # optional per-array (C, rows_a) W1 pair layouts
+    pairs2=None,  # optional per-array pair layouts at W2 (hub level)
 ):
     """Fetch ``a[start + sel]`` for every array in ``arrays`` using
     contiguous window gathers instead of B*k element gathers (TPU gather
@@ -215,7 +216,8 @@ def _window_fetch_multi(
     else:
         # level 2: wider window over the compacted hub rows
         vals2, cov2 = _window_select_multi(
-            arrays, num_edges, big_start, big_sel, big_mask, W2
+            arrays, num_edges, big_start, big_sel, big_mask, W2,
+            pairs=pairs2,
         )
         unc2 = jnp.any(big_mask & ~cov2, axis=1)
         b2_start, b2_sel, b2_mask, inv2, _ = _compact_rows(
@@ -249,19 +251,23 @@ def _window_fetch(
     big_row_budget,  # int, or (R1, R2) matching a (W1, W2) window
 ):
     """Neighbor-id specialization of :func:`_window_fetch_multi`."""
+    w2 = window[1] if isinstance(window, (tuple, list)) else None
     (ids,), served, overflow = _window_fetch_multi(
         (graph.indices,), graph.num_edges, start, sel, mask, window,
         big_row_budget, pairs=_indices_pair(graph, window),
+        pairs2=_indices_pair(graph, w2) if w2 else None,
     )
     return jnp.where(served, ids, INVALID_ID), served, overflow
 
 
 def _indices_pair(graph: Graph, window):
-    """(C, rows_a) level-1 pair layout for graph.indices when built at the
-    matching W (Graph.win_pair); None otherwise."""
+    """(C, rows_a) pair layout for graph.indices when one was built at the
+    matching W (Graph.win_pair / win_pair2); None otherwise."""
     w1 = window[0] if isinstance(window, (tuple, list)) else window
     if graph.win_pair is not None and graph.win_pair_w == w1:
         return ((graph.win_pair, graph.win_pair_rows_a),)
+    if graph.win_pair2 is not None and graph.win_pair2_w == w1:
+        return ((graph.win_pair2, graph.win_pair2_rows_a),)
     return None
 
 
@@ -405,7 +411,7 @@ def _window_select_raw(arrays, num_edges, r0, W, pairs=None):
     """Fetch the [B, 2W] windows at row indices r0 for each array (the raw
     half of :func:`_window_select_multi`, shared by the Gumbel path)."""
     n_rows = -(-num_edges // W)
-    pad = n_rows * W - num_edges
+    need = n_rows * W
     pair = None
     outs = []
     for i, flat in enumerate(arrays):
@@ -417,9 +423,18 @@ def _window_select_raw(arrays, num_edges, r0, W, pairs=None):
         else:
             if pair is None:
                 pair = jnp.stack([r0, r0 + 1], axis=1)
-            if pad:
-                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-            outs.append(flat.reshape(n_rows, W)[pair].reshape(r0.shape[0], 2 * W))
+            if flat.shape[0] < need:
+                # fallback for unpadded arrays (sharded sub-CSRs etc.);
+                # Graph.to_device pre-pads to a 4096 multiple so the hot
+                # paths never pay this whole-array copy
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((need - flat.shape[0],), flat.dtype)]
+                )
+            outs.append(
+                flat[:need].reshape(n_rows, W)[pair].reshape(
+                    r0.shape[0], 2 * W
+                )
+            )
     return outs, n_rows
 
 

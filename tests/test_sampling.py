@@ -688,3 +688,30 @@ def test_gumbel_windowed_wide_level2_hier_topk():
     w = list(np.linspace(8, 0.5, 40))
     g = t.make(w, pad_edges=3000)
     t._check(g, w, 3, window=(8, 512), budget=(4096, 64), T=2000)
+
+
+def test_window_pair2_layout_identical():
+    """Graph.win_pair2 (one-row L2 hub-window gather) must be bit-identical
+    to the two-row L2 path."""
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.ops.sampling import sample_uniform
+
+    arrays, _ = make_synthetic_dataset(
+        num_nodes=2000, avg_degree=25, feature_dim=4, num_classes=3,
+        train_frac=0.3, seed=9,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    g_one = hg.to_device(window_pair=16)
+    g_two = hg.to_device(window_pair=(16, 128))
+    assert g_two.win_pair2 is not None and g_two.win_pair2_w == 128
+    seeds = jnp.asarray(np.arange(512, dtype=np.int32) * 3 % 2000)
+    a = sample_uniform(g_one, seeds, 8, False, jax.random.key(5),
+                       window=(16, 128), big_row_budget=(512, 256))
+    b = sample_uniform(g_two, seeds, 8, False, jax.random.key(5),
+                       window=(16, 128), big_row_budget=(512, 256))
+    assert int(b.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    # exactness vs the plain elementwise path too
+    c = sample_uniform(g_two, seeds, 8, False, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(b.ids), np.asarray(c.ids))
