@@ -15,6 +15,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <algorithm>
 #include <cstring>
 
 #ifdef _OPENMP
@@ -25,6 +26,14 @@ extern "C" {
 
 // Build CSC (row = dst) from an edge list. out_indptr must be zeroed,
 // length num_nodes+1. Returns 0 on success.
+//
+// DETERMINISTIC: within-row edge order is the original edge-list order
+// (stable counting sort), identical to the numpy fallback's
+// argsort(dst, kind="stable") path (dist_gnn_tpu/graph.py:110) and
+// independent of OpenMP scheduling.  Host-side builds must be
+// bit-reproducible across processes: in a multi-process cluster every
+// rank constructs the same global arrays and device_puts them to a
+// global sharding, which asserts cross-process equality.
 int dg_build_csc(int64_t num_edges, int64_t num_nodes, const int32_t* dst,
                  const int32_t* src, const float* probs, int64_t* out_indptr,
                  int32_t* out_indices, float* out_probs) {
@@ -42,8 +51,10 @@ int dg_build_csc(int64_t num_edges, int64_t num_nodes, const int32_t* dst,
   }
   // exclusive scan
   for (int64_t i = 0; i < num_nodes; ++i) out_indptr[i + 1] += out_indptr[i];
-  // pass 2: scatter (per-row running cursor)
+  // pass 2: scatter (per-row running cursor), tagging each slot with its
+  // source edge id so pass 3 can restore the stable order
   int64_t* cursor = new int64_t[num_nodes];
+  int64_t* eid = new int64_t[num_edges > 0 ? num_edges : 1];
   std::memcpy(cursor, out_indptr, sizeof(int64_t) * num_nodes);
   {
     std::atomic<int64_t>* cur = reinterpret_cast<std::atomic<int64_t>*>(cursor);
@@ -52,11 +63,22 @@ int dg_build_csc(int64_t num_edges, int64_t num_nodes, const int32_t* dst,
       int32_t d = dst[e];
       if (d < 0 || d >= num_nodes) continue;
       int64_t pos = cur[d].fetch_add(1, std::memory_order_relaxed);
-      out_indices[pos] = src[e];
-      if (probs && out_probs) out_probs[pos] = probs[e];
+      eid[pos] = e;
     }
   }
   delete[] cursor;
+  // pass 3: per-row sort by edge id (deterministic), then materialize
+  // indices/probs from the edge list in that order
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t r = 0; r < num_nodes; ++r) {
+    int64_t lo = out_indptr[r], hi = out_indptr[r + 1];
+    if (hi - lo > 1) std::sort(eid + lo, eid + hi);
+    for (int64_t p = lo; p < hi; ++p) {
+      out_indices[p] = src[eid[p]];
+      if (probs && out_probs) out_probs[p] = probs[eid[p]];
+    }
+  }
+  delete[] eid;
   return 0;
 }
 

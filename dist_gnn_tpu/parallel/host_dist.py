@@ -435,10 +435,22 @@ class DistHostTrainer:
             jnp.sum(correct.astype(jnp.float32)), denom
         )
 
-    @partial(jax.jit, static_argnames=("self",))
     def compute_phase(
         self, state, block_arrs, staged_rows, staged_slots, labels_b,
         seed_mask, key,
+    ):
+        # store shard args threaded as explicit jit arguments, never
+        # trace-time constants (forbidden over a multi-process mesh;
+        # serialize into axon compile requests — NOTES.md #8)
+        return self._compute_phase_impl(
+            state, tuple(block_arrs), self.store.shard_args(), staged_rows,
+            staged_slots, labels_b, seed_mask, key,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _compute_phase_impl(
+        self, state, block_arrs, store_args, staged_rows, staged_slots,
+        labels_b, seed_mask, key,
     ):
         ax = self.axis_name
 
@@ -493,7 +505,7 @@ class DistHostTrainer:
             ),
             check_vma=False,
         )(
-            state, tuple(block_arrs), self.store.shard_args(),
+            state, tuple(block_arrs), store_args,
             staged_rows, staged_slots, labels_b, seed_mask, key,
         )
 

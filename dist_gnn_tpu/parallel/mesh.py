@@ -56,6 +56,48 @@ def initialize_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def initialize_cpu_cluster(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    devices_per_process: int = 4,
+) -> None:
+    """Bootstrap a REAL multi-process cluster on host CPUs (gloo transport).
+
+    The CPU analog of the reference's multi-node torchrun launch
+    (``example/graphsage/node_classification_dist.py:305-306``): N
+    OS processes, each owning ``devices_per_process`` local devices,
+    rendezvous through the JAX coordinator and form one global mesh.
+    Collectives cross process boundaries through gloo over localhost —
+    the same SPMD program that runs over ICI/DCN on a pod.
+
+    Must be called before any jnp array creation in the process.
+    """
+    from dist_gnn_tpu.utils.platform import force_cpu
+
+    force_cpu(devices_per_process)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """device_put a pytree of host values replicated over the global mesh.
+
+    Multi-process safe: every process must hold the same host values
+    (numpy or single-device arrays); each populates only its addressable
+    shards.  Needed because process-local committed arrays cannot feed a
+    computation spanning non-addressable devices.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), tree)
+
+
 def axis_size(mesh: Mesh, axis) -> int:
     """Size of a (possibly tuple) mesh axis."""
     if isinstance(axis, (tuple, list)):

@@ -280,9 +280,17 @@ class DistTrainer:
             jax.lax.psum(jnp.sum(seed_mask.astype(jnp.int32)), self.axis_name),
         )
 
-    @partial(jax.jit, static_argnames=("self",))
     def eval_step(self, params, graph, labels, seeds, seed_mask, key):
         """Distributed sampled eval: (correct, total), replicated."""
+        return self._eval_step_impl(
+            params, graph, self.store.shard_args(), labels, seeds, seed_mask,
+            key,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _eval_step_impl(
+        self, params, graph, store_args, labels, seeds, seed_mask, key
+    ):
         ax = self.axis_name
         if self.sgraph is not None:
             graph_spec = self.sgraph.shard_specs()
@@ -302,10 +310,18 @@ class DistTrainer:
             ),
             out_specs=(P(), P()),
             check_vma=False,
-        )(params, graph, self.store.shard_args(), labels, seeds, seed_mask, key)
+        )(params, graph, store_args, labels, seeds, seed_mask, key)
+
+    def train_step_multi(self, state, graph, labels, seeds, seed_masks, key):
+        return self._train_step_multi_impl(
+            state, graph, self.store.shard_args(), labels, seeds, seed_masks,
+            key,
+        )
 
     @partial(jax.jit, static_argnames=("self",))
-    def train_step_multi(self, state, graph, labels, seeds, seed_masks, key):
+    def _train_step_multi_impl(
+        self, state, graph, store_args, labels, seeds, seed_masks, key
+    ):
         """U consecutive distributed train steps fused into one jitted
         program (``seeds``/``seed_masks``: [U, world_batch] sharded over
         the mesh axis on the batch dim).  Same math as U sequential
@@ -318,8 +334,9 @@ class DistTrainer:
         totals = {k: jnp.int32(0) for k in ovf_keys}
         metrics = {}
         for u in range(U):
-            state, metrics = self.train_step.__wrapped__(
-                self, state, graph, labels, seeds[u], seed_masks[u], key
+            state, metrics = self._train_step_impl.__wrapped__(
+                self, state, graph, store_args, labels, seeds[u],
+                seed_masks[u], key,
             )
             for k in ovf_keys:
                 if k in metrics:
@@ -340,12 +357,25 @@ class DistTrainer:
             budget=seeds.shape[0],
         )
 
-    @partial(jax.jit, static_argnames=("self",))
     def train_step(self, state, graph, labels, seeds, seed_mask, key):
         """seeds/seed_mask: global [world_batch] arrays sharded over the
         mesh axis; labels: [padded_rows, 1] sharded by node range like the
         feature store; graph: a replicated Graph, or (when ``self.sgraph``
-        is set) ``sgraph.shard_args()`` sharded over the mesh axis."""
+        is set) ``sgraph.shard_args()`` sharded over the mesh axis.
+
+        The store's shard args are threaded as explicit jit arguments (not
+        trace-time constants): closure constants are forbidden over a
+        multi-process mesh and serialize into the compile request on the
+        tunneled backend (NOTES.md #8)."""
+        return self._train_step_impl(
+            state, graph, self.store.shard_args(), labels, seeds, seed_mask,
+            key,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_step_impl(
+        self, state, graph, store_args, labels, seeds, seed_mask, key
+    ):
         ax = self.axis_name
         if self.sgraph is not None:
             graph_spec = self.sgraph.shard_specs()
@@ -371,4 +401,4 @@ class DistTrainer:
                 },
             ),
             check_vma=False,
-        )(state, graph, self.store.shard_args(), labels, seeds, seed_mask, key)
+        )(state, graph, store_args, labels, seeds, seed_mask, key)

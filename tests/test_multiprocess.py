@@ -1,0 +1,91 @@
+"""REAL multi-process cluster test: 2 OS processes x 4 CPU devices form one
+global (2, 4) ('host', 'data') mesh via jax.distributed + gloo and run the
+full DistTrainer (sharded structure + hierarchical feature exchange + grad
+psum) end-to-end.
+
+This is the CPU analog of the reference's multi-node torchrun launch
+(``example/graphsage/node_classification_dist.py:305-306``): separate
+processes, real rendezvous, collectives crossing process boundaries — not
+the single-process 8-device emulation the rest of the suite uses.  The
+cluster's per-step losses must match the identical single-process run
+(DDP-equivalence across the process boundary).
+
+Depends on deterministic host-side builds: csrc dg_build_csc is stable
+counting sort (within-row order == numpy fallback), so every rank
+constructs bit-identical global arrays for device_put's cross-process
+equality check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env() -> dict:
+    # the pytest process forces an 8-device CPU mesh through XLA_FLAGS;
+    # workers pick their own device count via force_cpu(4)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _run_worker(out_path, port, num_procs, pid, env):
+    return subprocess.Popen(
+        [sys.executable, WORKER, out_path, str(port), str(num_procs), str(pid)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    env = _clean_env()
+    port = _free_port()
+
+    # --- the 2-process cluster ---------------------------------------
+    outs = [str(tmp_path / f"rank{i}.json") for i in range(2)]
+    procs = [_run_worker(outs[i], port, 2, i, env) for i in range(2)]
+    logs = [p.communicate(timeout=700)[0].decode(errors="replace") for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-3000:]}"
+    ranks = [json.load(open(o)) for o in outs]
+
+    for i, r in enumerate(ranks):
+        assert r["process_count"] == 2, r
+        assert r["global_devices"] == 8 and r["local_devices"] == 4, r
+        assert np.all(np.isfinite(r["losses"])), r
+    # both ranks observe identical global metrics (loss/acc are psum'd
+    # replicated outputs)
+    assert ranks[0]["losses"] == ranks[1]["losses"]
+    assert ranks[0]["accs"] == ranks[1]["accs"]
+    assert ranks[0]["eval_correct"] == ranks[1]["eval_correct"]
+
+    # --- single-process reference of the SAME workload ----------------
+    ref_out = str(tmp_path / "single.json")
+    p = _run_worker(ref_out, 0, 0, 0, env)
+    log = p.communicate(timeout=700)[0].decode(errors="replace")
+    assert p.returncode == 0, f"single-process reference failed:\n{log[-3000:]}"
+    ref = json.load(open(ref_out))
+
+    # cluster == single process up to collective reassociation noise
+    np.testing.assert_allclose(
+        ranks[0]["losses"], ref["losses"], rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(ranks[0]["accs"], ref["accs"], rtol=0, atol=1e-6)
+    assert ranks[0]["eval_total"] == ref["eval_total"]
+    assert ranks[0]["eval_correct"] == ref["eval_correct"]
