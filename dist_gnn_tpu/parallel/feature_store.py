@@ -238,6 +238,46 @@ def exchange_gather_hier(
     return out, ovf1 + ovf2
 
 
+def build_union_tables(
+    hot_ids: np.ndarray,  # [n, C] per-chip cached ids, INVALID padded
+    num_hosts: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the id → owning-chip routing tables for the peer-hot tier.
+
+    ``num_hosts == 1``: one global table [U], owner in [0, n) — the flat
+    mesh.  ``num_hosts == H``: per-HOST tables [H, U] with owner = the
+    intra-host chip index in [0, D) — the reference's cache subgroup is
+    intra-node (``node_classification_dist.py:43-44``), so rows hot only
+    on another host are invisible to the peer tier and fall through to
+    the base exchange.  Padded entries hold int32.max (sorted tail) and
+    never match a real id.
+    """
+    from dist_gnn_tpu.ops.hashtable import SortedIdTable
+
+    n, C = hot_ids.shape
+    assert n % num_hosts == 0
+    D = n // num_hosts
+    pad_key = np.iinfo(np.int32).max
+    tables = []
+    for h in range(num_hosts):
+        flat = hot_ids[h * D : (h + 1) * D].reshape(-1)
+        owners = np.repeat(np.arange(D, dtype=np.int32), C)
+        keep = flat != INVALID_ID
+        tbl = SortedIdTable.build(
+            flat[keep], owners=owners[keep], priority=owners[keep]
+        )
+        tables.append((np.asarray(tbl.sorted_ids), np.asarray(tbl.owners)))
+    U = max(max((len(s) for s, _ in tables), default=1), 1)
+    us = np.full((num_hosts, U), pad_key, np.int32)
+    uo = np.zeros((num_hosts, U), np.int32)
+    for h, (s, o) in enumerate(tables):
+        us[h, : len(s)] = s
+        uo[h, : len(o)] = o
+    if num_hosts == 1:
+        return us[0], uo[0]
+    return us, uo
+
+
 def peer_hot_fetch(
     axis_name, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask,
     budget: int,
@@ -346,28 +386,30 @@ class ShardedFeatureStore:
             self.hot_sorted = jax.device_put(sorted_ids, sh)
             self.hot_rows = jax.device_put(rows, sh3)
             if peer_hot:
-                # Replicated union routing table: id -> owning chip.  The
-                # analog of the reference's (key, idx, devid) hashmap
+                # Union routing table: id -> owning chip.  The analog of
+                # the reference's (key, idx, devid) hashmap
                 # (``CreateNidsP2PCacheHashMapCUDA``, hashmap.cu:15-72);
                 # duplicates resolve to the lowest chip (every chip probes
                 # its LOCAL tier first, so the winner only matters for
                 # remote routing, where any caching peer is equivalent).
-                assert not hierarchical, (
-                    "peer_hot is implemented for the flat exchange axis"
-                )
-                from dist_gnn_tpu.ops.hashtable import SortedIdTable
-
-                flat = hot_ids.reshape(-1)
-                owners = np.repeat(np.arange(n, dtype=np.int32), C)
-                keep = flat != INVALID_ID
-                tbl = SortedIdTable.build(
-                    flat[keep], owners=owners[keep], priority=owners[keep]
-                )
-                rep = NamedSharding(mesh, P())
-                self.union_sorted = jax.device_put(
-                    np.asarray(tbl.sorted_ids), rep
-                )
-                self.union_owner = jax.device_put(np.asarray(tbl.owners), rep)
+                # Flat mesh: one replicated table, requests ride the full
+                # axis.  Hierarchical mesh: PER-HOST tables — peer-hot
+                # requests ride only the cheap intra-host data axis (the
+                # reference's intra-node cache subgroup,
+                # ``node_classification_dist.py:43-44``); rows hot only on
+                # another host fall through to the base exchange.
+                if hierarchical:
+                    host_ax, data_ax = self.axis_name
+                    H = mesh.shape[host_ax]
+                    us, uo = build_union_tables(hot_ids, num_hosts=H)
+                    sh_h = NamedSharding(mesh, P(host_ax, None))
+                    self.union_sorted = jax.device_put(us, sh_h)
+                    self.union_owner = jax.device_put(uo, sh_h)
+                else:
+                    us, uo = build_union_tables(hot_ids)
+                    rep = NamedSharding(mesh, P())
+                    self.union_sorted = jax.device_put(us, rep)
+                    self.union_owner = jax.device_put(uo, rep)
 
     @property
     def feature_dim(self) -> int:
@@ -408,7 +450,8 @@ class ShardedFeatureStore:
         if self.hot_sorted is None:
             return (P(ax, None),)
         if self.union_sorted is not None:
-            return (P(ax, None), P(ax, None), P(ax, None, None), P(None), P(None))
+            uspec = P(ax[0], None) if self.hierarchical else P(None)
+            return (P(ax, None), P(ax, None), P(ax, None, None), uspec, uspec)
         return (P(ax, None), P(ax, None), P(ax, None, None))
 
     def _exchange(self, local_shard, ids, mask, budget):
@@ -442,6 +485,10 @@ class ShardedFeatureStore:
             union_sorted = union_owner = None
         hot_sorted = hot_sorted.reshape(-1)
         hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
+        if union_sorted is not None:
+            # hierarchical: the per-host table arrives as a [1, U] block
+            union_sorted = union_sorted.reshape(-1)
+            union_owner = union_owner.reshape(-1)
         # hot probe: sorted binary search, local-HBM gather on hit
         pos = jnp.searchsorted(hot_sorted, ids)
         pos_c = jnp.clip(pos, 0, hot_sorted.shape[0] - 1)
@@ -464,13 +511,23 @@ class ShardedFeatureStore:
     def _peer_hot_fetch(
         self, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask, budget
     ):
-        Pb = (
-            budget
-            if budget is not None
-            else request_budget(ids.shape[0], jax.lax.axis_size(self.axis_name))
-        )
+        if self.hierarchical:
+            # peer-hot requests ride ONLY the intra-host data axis; the
+            # caller's ``budget`` is the DCN host-stage budget and does not
+            # apply here — size independently for the D-chip exchange
+            ax = self.axis_name[1]
+            Pb = request_budget(
+                ids.shape[0], jax.lax.axis_size(ax), self.budget_slack
+            )
+        else:
+            ax = self.axis_name
+            Pb = (
+                budget
+                if budget is not None
+                else request_budget(ids.shape[0], jax.lax.axis_size(ax))
+            )
         return peer_hot_fetch(
-            self.axis_name, hot_sorted, hot_rows, union_sorted, union_owner,
+            ax, hot_sorted, hot_rows, union_sorted, union_owner,
             ids, mask, Pb,
         )
 

