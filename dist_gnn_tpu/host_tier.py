@@ -23,7 +23,7 @@ with an overflow counter (never silently wrong).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +169,10 @@ class StagedAdjacency(NamedTuple):
     is_pre: jnp.ndarray  # [M] bool — True → use pre_ids, ignore window
     count: int  # host-side: staged rows
     overflow: int  # host-side: misses beyond the budget
+    # per-edge weights of the staged window rows (biased graphs only) —
+    # the analog of the reference serving probs from pinned host memory
+    # inside the biased kernel (rowwise_sampling_bias_p2p.cu:75-98)
+    window_probs: Optional[jnp.ndarray] = None  # [M, Dcap] float32
 
 
 def plan_hop_arrays(
@@ -181,9 +185,17 @@ def plan_hop_arrays(
     mask_np: np.ndarray,  # [L]
     k: int,
     rng,
+    probs: Optional[np.ndarray] = None,  # [nnz] per-edge weights (biased)
 ) -> tuple:
     """Pure-numpy hop planning shared by the single-chip and distributed
     host-structure stores: probe the hot tier, stage miss adjacency.
+
+    With ``probs`` the staged windows carry the per-edge weights too (the
+    device runs exact Gumbel-key A-Res over the full in-window row), and
+    hub rows are host-presampled with explicit Gumbel keys — weighted
+    sampling works at bigger-than-HBM structure scale, matching the
+    reference's pinned-host probs fetch
+    (``rowwise_sampling_bias_p2p.cu:75-98``).
 
     Returns (local_rows [L] int32, dict of StagedAdjacency device-array
     fields as numpy, staged count, overflow count)."""
@@ -206,6 +218,7 @@ def plan_hop_arrays(
     Dcap = deg_cap
 
     window = np.zeros((M, Dcap), np.int32)
+    window_probs = np.zeros((M, Dcap), np.float32) if probs is not None else None
     deg_out = np.zeros(M, np.int32)
     row_of = np.full(M, L, np.int32)  # pad → out-of-bounds scatter drop
     pre_ids = np.full((M, k), INVALID_ID, np.int32)
@@ -221,14 +234,29 @@ def plan_hop_arrays(
         # small rows: one vectorised window gather (clipped fancy index)
         pos_mat = start[:, None] + np.arange(Dcap)[None, :]
         pos_mat = np.clip(pos_mat, 0, max(len(indices) - 1, 0))
+        in_row = np.arange(Dcap)[None, :] < deg[:, None]
         win = indices[pos_mat]
-        win[~(np.arange(Dcap)[None, :] < deg[:, None])] = 0
+        win[~in_row] = 0
         win[~small] = 0
         window[:m] = win
-        # huge rows: host-side exact k-of-deg draw (few of them)
+        if probs is not None:
+            winp = probs[pos_mat].astype(np.float32)
+            winp[~in_row] = 0.0
+            winp[~small] = 0.0
+            window_probs[:m] = winp
+        # huge rows: host-side exact k-of-deg draw (few of them); biased
+        # rows use explicit Gumbel keys log(u)/w — exact A-Res
         for j in np.flatnonzero(~small):
             d = int(deg[j])
-            picks = rng.choice(d, size=min(k, d), replace=False)
+            if probs is not None:
+                w = np.asarray(probs[start[j] : start[j] + d], np.float64)
+                keys = np.where(
+                    w > 0, np.log(rng.random(d)) / np.maximum(w, 1e-38), -np.inf
+                )
+                picks = np.argsort(-keys)[: min(k, d)]
+                picks = picks[keys[picks] > -np.inf]
+            else:
+                picks = rng.choice(d, size=min(k, d), replace=False)
             row = indices[start[j] : start[j] + d][picks]
             pre_ids[j, : len(row)] = row
             pre_mask[j, : len(row)] = True
@@ -237,6 +265,8 @@ def plan_hop_arrays(
         window=window, deg=deg_out, row_of=row_of,
         pre_ids=pre_ids, pre_mask=pre_mask, is_pre=is_pre,
     )
+    if window_probs is not None:
+        arrs["window_probs"] = window_probs
     return local_rows, arrs, m, overflow
 
 
@@ -278,17 +308,30 @@ class HostCSCStore:
         cache_sorted = cache_sorted[cache_sorted != INVALID_ID]
         self.sorted_np = cache_sorted
         C = len(cache_sorted)
-        sp, si, _ = native.extract_subcsc(cache_sorted, self.indptr64, hg.indices)
+        sp, si, spr = native.extract_subcsc(
+            cache_sorted, self.indptr64, hg.indices, hg.probs
+        )
         self.hot_max_degree = int(np.diff(sp).max()) if C else 1
         from dist_gnn_tpu.graph import Graph
 
+        # biased graphs: hot sub-CSR carries probs + Walker alias tables so
+        # the in-jit hot tier uses the O(1)-draw weighted sampler
+        ap = ai = None
+        if hg.probs is not None and len(si):
+            ap, ai = native.build_alias(sp.astype(np.int64), spr)
         self.hot_graph = Graph(
             indptr=jnp.asarray(sp),
             indices=jnp.asarray(si if len(si) else np.zeros(1, np.int32)),
-            probs=None,
+            probs=(
+                jnp.asarray(spr if len(spr) else np.zeros(1, np.float32))
+                if hg.probs is not None
+                else None
+            ),
             num_nodes=max(C, 1),
             num_edges=max(int(len(si)), 1),
             max_degree=self.hot_max_degree,
+            alias_prob=jnp.asarray(ap) if ap is not None else None,
+            alias_idx=jnp.asarray(ai) if ai is not None else None,
         )
 
     def hit_rate(self, nids: np.ndarray) -> float:
@@ -309,6 +352,7 @@ class HostCSCStore:
         local_rows, arrs, m, overflow = plan_hop_arrays(
             self.indptr64, self.hg.indices, self.sorted_np,
             self.miss_budget, self.deg_cap, seeds_np, mask_np, k, rng,
+            probs=self.hg.probs,
         )
         return local_rows, StagedAdjacency(
             **{name: jax.device_put(a) for name, a in arrs.items()},
@@ -324,24 +368,46 @@ def sample_staged_hop(
     k: int,
     key: jax.Array,
 ):
-    """Inside jit: hot-tier Feistel sampling + staged-window sampling.
+    """Inside jit: hot-tier sampling (Feistel uniform, or the alias/Gumbel
+    weighted dispatch when the hot sub-CSR carries probs) + staged-window
+    sampling (Feistel k-of-deg, or exact Gumbel-key A-Res over the staged
+    ``window_probs`` for biased graphs — the full row is inside the window
+    for deg <= Dcap, so the top-k is the exact weighted reservoir).
 
     Returns SampledNeighbors-[L, k] aligned with the hop's seeds.
     """
     from dist_gnn_tpu.ops import prng
-    from dist_gnn_tpu.ops.sampling import SampledNeighbors, sample_uniform
+    from dist_gnn_tpu.ops.sampling import SampledNeighbors, sample_neighbors
 
     L = local_rows.shape[0]
-    nb_hot = sample_uniform(hot_graph, local_rows, k, False, key)
+    nb_hot = sample_neighbors(hot_graph, local_rows, k, False, key)
 
-    # staged rows: k-of-deg Feistel draw over the dense window
     M, Dcap = staged.window.shape
     j = jax.lax.broadcasted_iota(jnp.int32, (M, k), 1)
     row_key = prng.random_keys(jax.random.fold_in(key, 1), (M,))
     deg_eff = jnp.minimum(staged.deg, Dcap)[:, None]
-    perm = prng.feistel_permutation(j, jnp.maximum(deg_eff, 1), row_key[:, None])
-    sel = jnp.where(deg_eff <= k, j, perm)
-    smask = (~staged.is_pre[:, None]) & (j < jnp.minimum(deg_eff, k))
+    if staged.window_probs is not None:
+        # biased staged rows: Gumbel keys log(u)/w over the dense window,
+        # top-k = exact A-Res (out-of-row / zero-weight slots at -inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, (M, Dcap), 1)
+        bits = prng.mix32(
+            row_key[:, None] ^ prng.mix32(col.astype(jnp.uint32))
+        )
+        u = prng.bits_to_uniform(bits)
+        w = jnp.where(
+            (col < deg_eff) & (staged.window_probs > 0),
+            staged.window_probs, 0.0,
+        )
+        gl = jnp.where(w > 0, jnp.log(u) / w, -jnp.float32(jnp.inf))
+        top_vals, sel = jax.lax.top_k(gl, k)
+        smask = (~staged.is_pre[:, None]) & (top_vals > -jnp.float32(jnp.inf))
+    else:
+        # uniform staged rows: k-of-deg Feistel draw over the dense window
+        perm = prng.feistel_permutation(
+            j, jnp.maximum(deg_eff, 1), row_key[:, None]
+        )
+        sel = jnp.where(deg_eff <= k, j, perm)
+        smask = (~staged.is_pre[:, None]) & (j < jnp.minimum(deg_eff, k))
     # compare+mask+reduce selection (take_along_axis lowers to per-element
     # gather — see ops/sampling._window_fetch)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Dcap), 2)

@@ -328,10 +328,19 @@ class DistHostTrainer:
         gs = self.gstore
         C, E, MD = gs.hot_num_nodes, gs.hot_num_edges, gs.hot_max_degree
 
-        def body(indptr, indices, seeds_, mask_, lrows, st, key_):
+        def body(*args):
+            if gs.biased:
+                (indptr, indices, hprobs, hap, hai,
+                 seeds_, mask_, lrows, st, key_) = args
+            else:
+                indptr, indices, seeds_, mask_, lrows, st, key_ = args
+                hprobs = hap = hai = None
             hot_graph = Graph(
                 indptr=indptr.reshape(-1), indices=indices.reshape(-1),
-                probs=None, num_nodes=C, num_edges=E, max_degree=MD,
+                probs=hprobs.reshape(-1) if hprobs is not None else None,
+                num_nodes=C, num_edges=E, max_degree=MD,
+                alias_prob=hap.reshape(-1) if hap is not None else None,
+                alias_idx=hai.reshape(-1) if hai is not None else None,
             )
             st_t = StagedAdjacency(
                 window=st["window"].reshape(st["window"].shape[-2:]),
@@ -341,6 +350,11 @@ class DistHostTrainer:
                 pre_mask=st["pre_mask"].reshape(st["pre_mask"].shape[-2:]),
                 is_pre=st["is_pre"].reshape(-1),
                 count=0, overflow=0,
+                window_probs=(
+                    st["window_probs"].reshape(st["window_probs"].shape[-2:])
+                    if "window_probs" in st
+                    else None
+                ),
             )
             kk = jax.random.fold_in(key_, jax.lax.axis_index(ax))
             nb = sample_staged_hop(hot_graph, lrows.reshape(-1), st_t, k, kk)
@@ -372,7 +386,7 @@ class DistHostTrainer:
             body,
             mesh=self.mesh,
             in_specs=(
-                P(ax, None), P(ax, None), P(ax), P(ax), P(ax, None),
+                *gs.shard_specs(), P(ax), P(ax), P(ax, None),
                 staged_specs, P(),
             ),
             out_specs=blk_spec,

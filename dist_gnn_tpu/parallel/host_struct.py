@@ -67,47 +67,67 @@ class DistHostCSCStore:
         # node-range ownership (whose host RAM holds the row) for DCN accounting
         self.rows_per_part = -(-self.num_nodes // n)
 
+        self.biased = hg.probs is not None
         self.sorted_np: List[np.ndarray] = []
-        subs: List[Tuple[np.ndarray, np.ndarray]] = []
+        subs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for c in range(n):
             ids = np.asarray(hot_ids[c], dtype=np.int32)
             ids = np.unique(ids[ids != INVALID_ID])
             self.sorted_np.append(ids)
-            sp, si, _ = native.extract_subcsc(ids, self.indptr64, hg.indices)
-            subs.append((sp.astype(np.int64), si.astype(np.int32)))
+            sp, si, spr = native.extract_subcsc(
+                ids, self.indptr64, hg.indices, hg.probs
+            )
+            subs.append((sp.astype(np.int64), si.astype(np.int32), spr))
 
         C = max((len(s) for s in self.sorted_np), default=0)
-        E = max((len(si) for _, si in subs), default=0)
+        E = max((len(si) for _, si, _ in subs), default=0)
         C, E = max(C, 1), max(E, 1)
         indptr = np.zeros((n, C + 1), np.int32)
         indices = np.zeros((n, E), np.int32)
+        probs_m = np.zeros((n, E), np.float32) if self.biased else None
+        ap_m = np.zeros((n, E), np.float32) if self.biased else None
+        ai_m = np.zeros((n, E), np.int32) if self.biased else None
         max_deg = 1
-        for c, (sp, si) in enumerate(subs):
+        for c, (sp, si, spr) in enumerate(subs):
             # pad the indptr tail with the last offset → degree-0 rows
             indptr[c, : len(sp)] = sp
             indptr[c, len(sp) :] = sp[-1] if len(sp) else 0
             indices[c, : len(si)] = si
+            if self.biased and len(si):
+                probs_m[c, : len(si)] = spr
+                apr, aal = native.build_alias(sp, spr)
+                ap_m[c, : len(si)] = apr
+                ai_m[c, : len(si)] = aal
             if len(sp) > 1:
                 max_deg = max(max_deg, int(np.diff(sp).max()))
         self.hot_num_nodes = C
         self.hot_num_edges = E
         self.hot_max_degree = max_deg
         ax = axis_name
-        self.hot_indptr = jax.device_put(
-            indptr, NamedSharding(mesh, P(ax, None))
+        sh = NamedSharding(mesh, P(ax, None))
+        self.hot_indptr = jax.device_put(indptr, sh)
+        self.hot_indices = jax.device_put(indices, sh)
+        self.hot_probs = (
+            jax.device_put(probs_m, sh) if self.biased else None
         )
-        self.hot_indices = jax.device_put(
-            indices, NamedSharding(mesh, P(ax, None))
+        self.hot_alias_prob = (
+            jax.device_put(ap_m, sh) if self.biased else None
         )
+        self.hot_alias_idx = jax.device_put(ai_m, sh) if self.biased else None
 
     # ---- device side -----------------------------------------------------
 
     def shard_args(self):
+        if self.biased:
+            return (
+                self.hot_indptr, self.hot_indices, self.hot_probs,
+                self.hot_alias_prob, self.hot_alias_idx,
+            )
         return (self.hot_indptr, self.hot_indices)
 
     def shard_specs(self):
         ax = self.axis_name
-        return (P(ax, None), P(ax, None))
+        return tuple(P(ax, None) for _ in self.shard_args())
 
     # ---- host side ---------------------------------------------------------
 
@@ -142,6 +162,7 @@ class DistHostCSCStore:
                 self.indptr64, self.hg.indices, self.sorted_np[c],
                 self.miss_budget, self.deg_cap,
                 seeds_np[c], mask_np[c], k, rng,
+                probs=self.hg.probs,
             )
             locs[c] = lr
             for name, a in arrs.items():

@@ -115,6 +115,87 @@ class TestHostCSCStore:
                 # distinct edge positions (multi-edges may repeat an id)
                 assert c <= row[g], (i, seeds[i], g, c, row[g])
 
+    def test_biased_staged_hop_matches_ares_oracle(self):
+        """Weighted sampling with HOST-RESIDENT structure (round-2 VERDICT
+        #2b): the staged window now carries per-edge probs and the device
+        runs exact Gumbel-key A-Res over it; the hot sub-CSR carries
+        probs + alias tables; hub rows are host-presampled with explicit
+        Gumbel keys.  All three tiers must match the A-Res oracle /
+        return true neighbors."""
+        rng = np.random.default_rng(5)
+        N = 200
+        w_hub = np.array([1.0, 1.0, 2.0, 2.0, 4.0, 4.0], np.float32)
+        src = [j + 1 for j in range(6)]
+        dst = [0] * 6
+        w = list(w_hub)
+        for j in range(40):  # huge weighted row at node 1 (> deg_cap)
+            src.append(10 + j); dst.append(1); w.append(1.0 + (j % 4))
+        for v in range(2, N):
+            src.append((v + 1) % N); dst.append(v); w.append(1.0)
+        hg = HostGraph.from_coo(
+            np.asarray(src), np.asarray(dst), N,
+            probs=np.asarray(w, np.float32),
+        )
+
+        # A-Res oracle for k-of-6 with w_hub
+        k = 3
+        orng = np.random.default_rng(99)
+        O = 60_000
+        oracle = np.zeros(6)
+        for _ in range(O):
+            keys = np.log(orng.random(6)) / w_hub
+            oracle[np.argsort(-keys)[:k]] += 1
+        oracle /= O
+
+        def inclusion(store, trials=6, L=128):
+            assert store.hot_graph.probs is not None
+            counts = np.zeros(7)
+            run = jax.jit(sample_staged_hop, static_argnames=("k",))
+            for t in range(trials):
+                seeds = np.zeros(L, np.int32)  # all query the weighted hub
+                local_rows, staged = store.plan_hop(
+                    seeds, np.ones(L, bool), k, rng
+                )
+                assert staged.overflow == 0
+                nb = run(
+                    store.hot_graph, jnp.asarray(local_rows), staged, k=k,
+                    key=jax.random.key(1000 + t),
+                )
+                ids, msk = np.asarray(nb.ids), np.asarray(nb.mask)
+                assert msk.all()
+                counts += np.bincount(ids[msk], minlength=7)
+            return counts[1:] / (trials * L)
+
+        # staged tier: hub NOT hot → window_probs path
+        cold = HostCSCStore(
+            hg, np.arange(50, 80, dtype=np.int32), miss_budget=256, deg_cap=16
+        )
+        np.testing.assert_allclose(inclusion(cold), oracle, atol=0.04)
+        # hot tier: hub IS hot → probs+alias sub-CSR path
+        hot = HostCSCStore(
+            hg, np.asarray([0], np.int32), miss_budget=256, deg_cap=16
+        )
+        np.testing.assert_allclose(inclusion(hot), oracle, atol=0.04)
+
+        # huge row (deg > deg_cap): host-side Gumbel presample, heavier
+        # edges (w=4) must out-appear lighter (w=1) over repeats
+        pre_counts = np.zeros(N)
+        for t in range(40):
+            seeds1 = np.ones(16, np.int32)
+            local_rows, staged = cold.plan_hop(seeds1, np.ones(16, bool), k, rng)
+            assert np.asarray(staged.is_pre)[:16].all()
+            nb = sample_staged_hop(
+                cold.hot_graph, jnp.asarray(local_rows), staged, k,
+                jax.random.key(2000 + t),
+            )
+            ids, msk = np.asarray(nb.ids), np.asarray(nb.mask)
+            assert msk[:16].all()
+            assert set(ids[msk].tolist()) <= set(range(10, 50))
+            pre_counts += np.bincount(ids[msk], minlength=N)
+        heavy = sum(pre_counts[10 + j] for j in range(40) if j % 4 == 3)
+        light = sum(pre_counts[10 + j] for j in range(40) if j % 4 == 0)
+        assert heavy > 1.5 * light, (heavy, light)
+
     def test_hub_rows_host_presampled(self):
         hg, rng = self._graph()
         store = HostCSCStore(hg, np.asarray([5, 6]), miss_budget=8, deg_cap=16)
