@@ -73,20 +73,34 @@ class DistHostFeatureStore:
         mesh,
         hot_ids: np.ndarray,
         miss_budget: int,
-        axis_name: str = "data",
+        axis_name="data",  # str, or a ('host', 'data') tuple (2-tier mesh)
         hot_dtype=None,
         budget_slack: float = 2.0,
     ):
-        n = mesh.shape[axis_name]
+        from dist_gnn_tpu.parallel.feature_store import build_union_tables
+        from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
+
+        self.axis_name = (
+            tuple(axis_name) if isinstance(axis_name, list) else axis_name
+        )
+        self.hierarchical = isinstance(self.axis_name, tuple)
+        n = _axis_size(mesh, self.axis_name)
         assert hot_ids.shape[0] == n
         self.base = host_features  # host RAM (numpy or np.memmap)
-        self.mesh, self.axis_name = mesh, axis_name
+        self.mesh = mesh
         self.num_shards = n
+        if self.hierarchical:
+            host_ax, data_ax = self.axis_name
+            self.num_hosts = mesh.shape[host_ax]
+            self.peer_size = mesh.shape[data_ax]
+        else:
+            self.num_hosts, self.peer_size = 1, n
         self.num_rows, F = host_features.shape
         self.out_dim = F
         self.miss_budget = int(miss_budget)
         self.budget_slack = budget_slack
 
+        axn = self.axis_name
         C = hot_ids.shape[1]
         sorted_ids = np.sort(
             np.where(hot_ids == INVALID_ID, np.iinfo(np.int32).max, hot_ids),
@@ -99,23 +113,35 @@ class DistHostFeatureStore:
         if hot_dtype is not None:
             rows = rows.astype(hot_dtype)
         self.hot_sorted = jax.device_put(
-            sorted_ids, NamedSharding(mesh, P(axis_name, None))
+            sorted_ids, NamedSharding(mesh, P(axn, None))
         )
         self.hot_rows = jax.device_put(
-            rows, NamedSharding(mesh, P(axis_name, None, None))
+            rows, NamedSharding(mesh, P(axn, None, None))
         )
-        flat = hot_ids.reshape(-1)
-        owners = np.repeat(np.arange(n, dtype=np.int32), C)
-        keep = flat != INVALID_ID
-        tbl = SortedIdTable.build(
-            flat[keep], owners=owners[keep], priority=owners[keep]
-        )
-        self.union_sorted_np = np.asarray(tbl.sorted_ids)
-        self.union_owner_np = np.asarray(tbl.owners)
-        rep = NamedSharding(mesh, P())
-        self.union_sorted = jax.device_put(self.union_sorted_np, rep)
-        self.union_owner = jax.device_put(self.union_owner_np, rep)
+        # Union routing table: per-HOST on the 2-tier mesh (the reference's
+        # intra-node cache subgroup — peer-hot never crosses DCN; rows hot
+        # only on another host are STAGED from the local host's RAM copy),
+        # one replicated table on the flat mesh.
+        us, uo = build_union_tables(hot_ids, num_hosts=self.num_hosts)
+        self.union_sorted_np = us  # [U] flat, or [H, U] hierarchical
+        self.union_owner_np = uo
+        if self.hierarchical:
+            sh_h = NamedSharding(mesh, P(self.axis_name[0], None))
+            self.union_sorted = jax.device_put(us, sh_h)
+            self.union_owner = jax.device_put(uo, sh_h)
+        else:
+            rep = NamedSharding(mesh, P())
+            self.union_sorted = jax.device_put(us, rep)
+            self.union_owner = jax.device_put(uo, rep)
         self.hot_dtype = rows.dtype
+
+    def _union_for_chip(self, c: int) -> np.ndarray:
+        """Host-side sorted union of the chip's HOST (stage() probes it:
+        anything not hot on my host must be staged, even if another host
+        caches it)."""
+        if self.hierarchical:
+            return self.union_sorted_np[c // self.peer_size]
+        return self.union_sorted_np
 
     # ---- host side ---------------------------------------------------------
 
@@ -128,9 +154,9 @@ class DistHostFeatureStore:
         rows = np.zeros((n, R, F), self.base.dtype)
         slots = np.full((n, R), L, np.int32)
         count = overflow = 0
-        us = self.union_sorted_np
         for c in range(n):
             ids, m = frontier_np[c], fmask_np[c]
+            us = self._union_for_chip(c)
             if len(us):
                 pos = np.clip(np.searchsorted(us, ids), 0, len(us) - 1)
                 any_hot = m & (us[pos] == ids)
@@ -157,8 +183,8 @@ class DistHostFeatureStore:
             overflow=overflow,
         )
 
-    def union_hit_rate(self, ids: np.ndarray) -> float:
-        us = self.union_sorted_np
+    def union_hit_rate(self, ids: np.ndarray, chip: int = 0) -> float:
+        us = self._union_for_chip(chip)
         if len(us) == 0:
             return 0.0
         pos = np.clip(np.searchsorted(us, ids), 0, len(us) - 1)
@@ -171,7 +197,8 @@ class DistHostFeatureStore:
 
     def shard_specs(self):
         ax = self.axis_name
-        return (P(ax, None), P(ax, None, None), P(None), P(None))
+        uspec = P(ax[0], None) if self.hierarchical else P(None)
+        return (P(ax, None), P(ax, None, None), uspec, uspec)
 
     def assemble_local(
         self, shard_args, ids, mask, staged_rows, staged_slots, budget: int
@@ -184,6 +211,8 @@ class DistHostFeatureStore:
         hot_sorted, hot_rows, union_sorted, union_owner = shard_args
         hot_sorted = hot_sorted.reshape(-1)
         hot_rows = hot_rows.reshape(hot_rows.shape[-2], hot_rows.shape[-1])
+        union_sorted = union_sorted.reshape(-1)
+        union_owner = union_owner.reshape(-1)
         staged_rows = staged_rows.reshape(
             staged_rows.shape[-2], staged_rows.shape[-1]
         )
@@ -194,8 +223,11 @@ class DistHostFeatureStore:
         local_hit = mask & (C > 0) & (hot_sorted[pos] == ids)
         out = jnp.where(local_hit[:, None], hot_rows[pos], 0)
 
+        # peer-hot rides the intra-host axis on the 2-tier mesh (the
+        # reference's NVLink tier is intra-node) — never DCN
+        peer_ax = self.axis_name[1] if self.hierarchical else self.axis_name
         peer_rows, peer_served = peer_hot_fetch(
-            self.axis_name, hot_sorted, hot_rows, union_sorted, union_owner,
+            peer_ax, hot_sorted, hot_rows, union_sorted, union_owner,
             ids, mask & ~local_hit, budget,
         )
         out = jnp.where(peer_served[:, None], peer_rows, out)
@@ -414,16 +446,16 @@ class DistHostTrainer:
             last = i == len(self.fan_out) - 1
             arr = self._hop_phase(
                 self.gstore.shard_args(),
-                jnp.asarray(seeds_h.reshape(-1)),
-                jnp.asarray(mask_h.reshape(-1)),
+                self._put_batch(seeds_h.reshape(-1)),
+                self._put_batch(mask_h.reshape(-1)),
                 local_rows, staged, k, last, keys[i],
             )
             blocks.append(arr)
             if not last:
-                seeds_h = np.asarray(arr["frontier"]).reshape(n, -1)
-                mask_h = np.asarray(arr["frontier_mask"]).reshape(n, -1)
-        frontier_np = np.asarray(blocks[-1]["frontier"]).reshape(n, -1)
-        fmask_np = np.asarray(blocks[-1]["frontier_mask"]).reshape(n, -1)
+                seeds_h = self._read(arr["frontier"]).reshape(n, -1)
+                mask_h = self._read(arr["frontier_mask"]).reshape(n, -1)
+        frontier_np = self._read(blocks[-1]["frontier"]).reshape(n, -1)
+        fmask_np = self._read(blocks[-1]["frontier_mask"]).reshape(n, -1)
         return tuple(blocks), stats, frontier_np, fmask_np
 
     # ---- phase 2: compute (one shard_map) -------------------------------------
@@ -473,7 +505,7 @@ class DistHostTrainer:
             inp = blocks[-1]
             L = inp.frontier.shape[0]
             budget = request_budget(
-                L, self.store.num_shards, self.peer_budget_slack
+                L, self.store.peer_size, self.peer_budget_slack
             )
             feats, peer_dropped = self.store.assemble_local(
                 store_args, inp.frontier, inp.frontier_mask,
@@ -523,17 +555,130 @@ class DistHostTrainer:
             staged_rows, staged_slots, labels_b, seed_mask, key,
         )
 
+    # ---- eval (sampled) over the host-resident tiers ---------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _eval_phase_impl(
+        self, params, block_arrs, store_args, staged_rows, staged_slots,
+        labels_b, seed_mask,
+    ):
+        ax = self.axis_name
+
+        def body(params, arrs, store_args, s_rows, s_slots, lab, smask):
+            blocks = self._arrays_to_blocks(arrs)
+            inp = blocks[-1]
+            budget = request_budget(
+                inp.frontier.shape[0], self.store.peer_size,
+                self.peer_budget_slack,
+            )
+            feats, _ = self.store.assemble_local(
+                store_args, inp.frontier, inp.frontier_mask,
+                s_rows, s_slots, budget,
+            )
+            logits = self.model.apply(
+                params, tuple(reversed(blocks)), feats, train=False,
+                contiguous_first=not self.dedup_last,
+            )
+            lab = jnp.where(smask, lab, 0)
+            correct = (
+                jnp.argmax(logits, axis=-1).astype(jnp.int32) == lab
+            ) & smask
+            return (
+                jax.lax.psum(jnp.sum(correct.astype(jnp.int32)), ax),
+                jax.lax.psum(jnp.sum(smask.astype(jnp.int32)), ax),
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), params),
+                jax.tree.map(lambda _: P(ax), tuple(block_arrs)),
+                self.store.shard_specs(),
+                P(ax, None, None),
+                P(ax, None),
+                P(ax),
+                P(ax),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(
+            params, tuple(block_arrs), store_args, staged_rows, staged_slots,
+            labels_b, seed_mask,
+        )
+
+    def eval_batches(self, params, graph, labels_np, batches, key):
+        """Sampled eval with host-resident features (and structure when
+        ``gstore`` is set) — the missing eval path of round-2 VERDICT #6.
+        Returns (correct, total) over all batches."""
+        n = self.store.num_shards
+        correct = total = 0
+        rng = np.random.default_rng(
+            np.uint32(np.asarray(jax.random.key_data(key)).ravel()[-1]) ^ 0xE7A1
+        )
+        for i, (seeds_np, mask_np) in enumerate(batches):
+            seeds_np, mask_np = np.asarray(seeds_np), np.asarray(mask_np)
+            k_i = jax.random.fold_in(jax.random.fold_in(key, 0x5EED), i)
+            if self.gstore is not None:
+                block_arrs, _, frontier_np, fmask_np = (
+                    self._sample_host_struct(seeds_np, mask_np, k_i, rng)
+                )
+            else:
+                block_arrs, _ = self.sample_phase(
+                    graph, self._put_batch(seeds_np), self._put_batch(mask_np),
+                    k_i,
+                )
+                inp = block_arrs[-1]
+                frontier_np = self._read(inp["frontier"]).reshape(n, -1)
+                fmask_np = self._read(inp["frontier_mask"]).reshape(n, -1)
+            staged = self.store.stage(frontier_np, fmask_np)
+            lab = labels_np[np.where(mask_np, seeds_np, 0)].astype(np.int32)
+            c, t = self._eval_phase_impl(
+                params, tuple(block_arrs), self.store.shard_args(),
+                staged.rows, staged.slots,
+                self._put_batch(lab), self._put_batch(mask_np),
+            )
+            correct += int(self._read(c))
+            total += int(self._read(t))
+        return correct, total
+
     # ---- pipeline driver -------------------------------------------------------
+
+    def _read(self, x) -> np.ndarray:
+        """Device array → full numpy on EVERY process.  Single process:
+        plain readback.  Multi-process cluster: replicate first (jitted
+        identity with replicated out_sharding — one all_gather), because
+        a process cannot read peers' shards directly."""
+        if jax.process_count() > 1:
+            rep = getattr(self, "_replicate_fn", None)
+            if rep is None:
+                rep = jax.jit(
+                    lambda a: a,
+                    out_shardings=NamedSharding(self.mesh, P()),
+                )
+                self._replicate_fn = rep
+            x = rep(x)
+        return np.asarray(x)
+
+    def _put_batch(self, arr: np.ndarray):
+        """Host batch array → mesh-sharded device array (multi-process
+        safe: every process provides the identical global value)."""
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(self.axis_name))
+        )
 
     def train_batches(self, state, graph: Graph, labels_np, batches, key):
         """Run batches double-buffered (stage i+1 under compute i).
 
-        ``batches``: iterable of GLOBAL (seeds_np [n*B], mask_np [n*B]).
+        ``batches``: iterable of GLOBAL (seeds_np [n*B], mask_np [n*B]) —
+        identical on every process of a multi-process cluster.
         Returns (state, per-batch metrics incl. host staging counters)."""
         n = self.store.num_shards
         pend = None
         metrics = []
-        rng = np.random.default_rng(np.uint32(jax.random.key_data(key)[-1]))
+        rng = np.random.default_rng(
+            np.uint32(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        )
         for i, (seeds_np, mask_np) in enumerate(batches):
             seeds_np, mask_np = np.asarray(seeds_np), np.asarray(mask_np)
             k_i = jax.random.fold_in(key, i)
@@ -543,13 +688,14 @@ class DistHostTrainer:
                 )
             else:
                 block_arrs, samp_stats = self.sample_phase(
-                    graph, jnp.asarray(seeds_np), jnp.asarray(mask_np), k_i
+                    graph, self._put_batch(seeds_np), self._put_batch(mask_np),
+                    k_i,
                 )
                 inp = block_arrs[-1]
-                frontier_np = np.asarray(inp["frontier"]).reshape(n, -1)
-                fmask_np = np.asarray(inp["frontier_mask"]).reshape(n, -1)
+                frontier_np = self._read(inp["frontier"]).reshape(n, -1)
+                fmask_np = self._read(inp["frontier_mask"]).reshape(n, -1)
                 host_stats = {
-                    "sampler_overflow": int(np.asarray(
+                    "sampler_overflow": int(self._read(
                         samp_stats["sampler_overflow"])[0]),
                 }
             if pend is not None:
@@ -563,7 +709,7 @@ class DistHostTrainer:
             pend = (
                 (
                     block_arrs, staged.rows, staged.slots,
-                    jnp.asarray(lab), jnp.asarray(mask_np),
+                    self._put_batch(lab), self._put_batch(mask_np),
                     jax.random.fold_in(k_i, 1),
                 ),
                 host_stats,

@@ -51,21 +51,33 @@ class DistHostCSCStore:
         hot_ids: np.ndarray,  # [n, C] int32, INVALID padded
         miss_budget: int,
         deg_cap: int = 128,
-        axis_name: str = "data",
+        axis_name="data",  # str, or a ('host', 'data') tuple (2-tier mesh)
     ):
+        from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
         from dist_gnn_tpu.utils import native
 
-        n = mesh.shape[axis_name]
+        self.axis_name = (
+            tuple(axis_name) if isinstance(axis_name, list) else axis_name
+        )
+        self.hierarchical = isinstance(self.axis_name, tuple)
+        n = _axis_size(mesh, self.axis_name)
         assert hot_ids.shape[0] == n
         self.hg = hg
-        self.mesh, self.axis_name = mesh, axis_name
+        self.mesh = mesh
         self.num_shards = n
         self.num_nodes = int(hg.num_nodes)
         self.indptr64 = np.asarray(hg.indptr, dtype=np.int64)
         self.miss_budget = int(miss_budget)
         self.deg_cap = int(deg_cap)
-        # node-range ownership (whose host RAM holds the row) for DCN accounting
-        self.rows_per_part = -(-self.num_nodes // n)
+        # node-range ownership (whose host RAM holds the row) for DCN
+        # accounting — per OS-process HOST on the 2-tier mesh, per chip on
+        # the flat one
+        if self.hierarchical:
+            self.num_hosts = mesh.shape[self.axis_name[0]]
+            self.peer_size = n // self.num_hosts
+        else:
+            self.num_hosts, self.peer_size = n, 1
+        self.rows_per_part = -(-self.num_nodes // self.num_hosts)
 
         self.biased = hg.probs is not None
         self.sorted_np: List[np.ndarray] = []
@@ -173,7 +185,8 @@ class DistHostCSCStore:
             staged_rows = arrs["row_of"][arrs["row_of"] < L]
             if len(staged_rows):
                 owners = seeds_np[c][staged_rows] // self.rows_per_part
-                remote += int(np.sum(owners != c))
+                me = c // self.peer_size if self.hierarchical else c
+                remote += int(np.sum(owners != me))
         ax = self.axis_name
         sh2 = NamedSharding(self.mesh, P(ax, None))
         sh3 = NamedSharding(self.mesh, P(ax, None, None))

@@ -64,6 +64,11 @@ def parse_args():
     ap.add_argument("--model", default="sage", choices=["sage", "gat", "gcn"])
     ap.add_argument("--hot-frac", type=float, default=0.1,
                     help="fraction of nodes replicated into per-device hot tiers")
+    ap.add_argument("--tier", default="hbm", choices=["hbm", "dist-host"],
+                    help="data plane: all-HBM sharded stores, or the "
+                         "host-RAM-resident base (features AND structure "
+                         "staged per batch — the reference's pinned-host "
+                         "deployment shape)")
     ap.add_argument("--seed", type=int, default=0)
     return ap.parse_args()
 
@@ -80,24 +85,45 @@ def launch(args) -> int:
     for k in ("num_nodes", "avg_degree", "feature_dim", "epochs", "batch_size",
               "hidden", "hot_frac", "seed", "devices_per_process", "procs"):
         passthrough += [f"--{k.replace('_', '-')}", str(getattr(args, k))]
-    passthrough += ["--fan-out", args.fan_out, "--model", args.model]
+    passthrough += ["--fan-out", args.fan_out, "--model", args.model,
+                    "--tier", args.tier]
     if args.tpu:
         passthrough += ["--tpu"]
-    procs = []
-    for r in range(args.procs):
-        cmd = cmd_base + passthrough + [
-            "--process-id", str(r), "--coordinator", f"localhost:{port}",
-        ]
-        # rank 0 inherits stdout; other ranks log to files
-        out = None if r == 0 else open(f"/tmp/ncdist_rank{r}.log", "w")
-        procs.append(subprocess.Popen(cmd, env=env, stdout=out, stderr=out))
-    rc = 0
-    for r, p in enumerate(procs):
-        p.wait()
-        if p.returncode != 0:
-            rc = p.returncode
-            print(f"rank {r} exited {p.returncode}"
-                  + ("" if r == 0 else f" (log: /tmp/ncdist_rank{r}.log)"))
+    procs, logs = [], []
+    try:
+        for r in range(args.procs):
+            cmd = cmd_base + passthrough + [
+                "--process-id", str(r), "--coordinator", f"localhost:{port}",
+            ]
+            # rank 0 inherits stdout; other ranks log to files
+            out = None if r == 0 else open(f"/tmp/ncdist_rank{r}.log", "w")
+            logs.append(out)
+            procs.append(subprocess.Popen(cmd, env=env, stdout=out, stderr=out))
+        rc = 0
+        # poll so a dead rank terminates its siblings instead of leaving
+        # them blocked in a collective forever
+        pending = set(range(args.procs))
+        while pending:
+            for r in list(pending):
+                ret = procs[r].poll()
+                if ret is None:
+                    continue
+                pending.discard(r)
+                if ret != 0:
+                    if rc == 0:
+                        rc = ret
+                    print(f"rank {r} exited {ret}"
+                          + ("" if r == 0 else f" (log: /tmp/ncdist_rank{r}.log)"))
+                    for q in pending:
+                        procs[q].terminate()
+            time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for out in logs:
+            if out is not None:
+                out.close()
     return rc
 
 
@@ -157,19 +183,47 @@ def run_worker(args) -> None:
         hg, meta["feature_dim"], parts, fan_out, capacity_bytes=cap,
         policy="selfish",
     )
-    sg = ShardedGraph.build(hg, mesh, axis_name=ax, hot_ids=s_hot)
-    store = ShardedFeatureStore(
-        arrays["features"], mesh, axis_name=ax, hot_ids=f_hot,
-        hierarchical=True,
-    )
-    labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
-    labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
-    labels = jax.device_put(labels_padded, NamedSharding(mesh, P(ax, None)))
-
     model_cls = {"sage": SAGE, "gat": GAT, "gcn": GCN}[args.model]
     model = model_cls(meta["feature_dim"], args.hidden, meta["num_classes"],
                       len(fan_out))
-    trainer = DistTrainer(model=model, fan_out=fan_out, store=store, sgraph=sg)
+    if args.tier == "dist-host":
+        # host-RAM base for features AND structure: per-batch staging into
+        # per-chip hot tiers over the 2-tier mesh (the reference's
+        # pinned-host deployment — node_classification_dist.py:305-306 +
+        # pin_memory.cc:7-12)
+        from dist_gnn_tpu.parallel.host_dist import (
+            DistHostFeatureStore,
+            DistHostTrainer,
+        )
+        from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+        gstore = DistHostCSCStore(
+            hg, mesh, s_hot, miss_budget=4 * args.batch_size * max(fan_out),
+            deg_cap=4 * args.avg_degree, axis_name=ax,
+        )
+        store = DistHostFeatureStore(
+            arrays["features"], mesh, f_hot,
+            miss_budget=4 * args.batch_size * max(fan_out), axis_name=ax,
+        )
+        trainer = DistHostTrainer(
+            model=model, fan_out=fan_out, store=store, gstore=gstore,
+            dedup_last=False,
+        )
+        sg = labels = None
+    else:
+        sg = ShardedGraph.build(hg, mesh, axis_name=ax, hot_ids=s_hot)
+        store = ShardedFeatureStore(
+            arrays["features"], mesh, axis_name=ax, hot_ids=f_hot,
+            hierarchical=True,
+        )
+        labels_padded = np.zeros(
+            (store.shard_size * store.num_shards, 1), np.int32
+        )
+        labels_padded[: meta["num_nodes"], 0] = arrays["labels"]
+        labels = jax.device_put(labels_padded, NamedSharding(mesh, P(ax, None)))
+        trainer = DistTrainer(
+            model=model, fan_out=fan_out, store=store, sgraph=sg
+        )
     # process-local init params -> explicit global replication
     state = replicate_to_mesh(
         jax.tree.map(np.asarray, trainer.init_state(jax.random.key(args.seed))),
@@ -194,36 +248,68 @@ def run_worker(args) -> None:
             flush=True,
         )
 
-    steps = max(1, len(train) // batch)
+    def pad_batch(ids):
+        """Pad a (possibly short) id slice to the fixed global batch with
+        mask=False entries — short final slices train/eval correctly
+        instead of being dropped or crashing device_put (advisor round-2
+        findings: epochs with len < batch raised; eval silently skipped
+        partial batches)."""
+        s = np.zeros(batch, np.int32)
+        m = np.zeros(batch, bool)
+        s[: len(ids)] = ids
+        m[: len(ids)] = True
+        return s, m
+
+    steps = max(1, -(-len(train) // batch))
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         perm = np.random.default_rng(1000 + epoch).permutation(len(train))
         losses, accs = [], []
-        for s in range(steps):
-            sel = perm[s * batch : (s + 1) * batch]
-            seeds = jax.device_put(train[sel], seed_sh)
-            mask = jax.device_put(np.ones(len(sel), bool), seed_sh)
-            state, m = trainer.train_step(
-                state, sg.shard_args(), labels, seeds, mask, key
+        if args.tier == "dist-host":
+            batches = [
+                pad_batch(train[perm[s * batch : (s + 1) * batch]])
+                for s in range(steps)
+            ]
+            state, ms = trainer.train_batches(
+                state, None, np.asarray(arrays["labels"]), batches,
+                jax.random.fold_in(key, epoch),
             )
-            losses.append(float(m["loss"]))
-            accs.append(float(m["acc"]))
+            losses = [float(m["loss"]) for m in ms]
+            accs = [float(m["acc"]) for m in ms]
+        else:
+            for s in range(steps):
+                sel, mask_np = pad_batch(train[perm[s * batch : (s + 1) * batch]])
+                seeds = jax.device_put(sel, seed_sh)
+                mask = jax.device_put(mask_np, seed_sh)
+                state, m = trainer.train_step(
+                    state, sg.shard_args(), labels, seeds, mask, key
+                )
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
         jax.block_until_ready(state.params)
         dt = time.perf_counter() - t0
 
         correct = total = 0
-        for s in range(max(1, len(valid) // batch)):
-            vsel = valid[s * batch : (s + 1) * batch]
-            if len(vsel) < batch:
-                break
-            c, t = trainer.eval_step(
-                state.params, sg.shard_args(), labels,
-                jax.device_put(vsel, seed_sh),
-                jax.device_put(np.ones(batch, bool), seed_sh),
-                key,
+        eval_steps = max(1, -(-len(valid) // batch))
+        if args.tier == "dist-host":
+            vbatches = [
+                pad_batch(valid[s * batch : (s + 1) * batch])
+                for s in range(eval_steps)
+            ]
+            correct, total = trainer.eval_batches(
+                state.params, None, np.asarray(arrays["labels"]), vbatches, key
             )
-            correct += int(c)
-            total += int(t)
+        else:
+            for s in range(eval_steps):
+                vsel, vmask = pad_batch(valid[s * batch : (s + 1) * batch])
+                c, t = trainer.eval_step(
+                    state.params, sg.shard_args(), labels,
+                    jax.device_put(vsel, seed_sh),
+                    jax.device_put(vmask, seed_sh),
+                    key,
+                )
+                correct += int(c)
+                total += int(t)
         if rank0:
             print(
                 f"epoch {epoch}: loss={float(np.mean(losses)):.4f} "

@@ -44,13 +44,38 @@ def _clean_env() -> dict:
     return env
 
 
-def _run_worker(out_path, port, num_procs, pid, env):
+def _run_worker(out_path, port, num_procs, pid, env, tier="hbm"):
     return subprocess.Popen(
-        [sys.executable, WORKER, out_path, str(port), str(num_procs), str(pid)],
+        [
+            sys.executable, WORKER, out_path, str(port), str(num_procs),
+            str(pid), tier,
+        ],
         env=env,
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
+        start_new_session=True,  # own process group → clean kill on timeout
     )
+
+
+def _communicate(procs):
+    """communicate() all workers; on timeout kill the whole process GROUPS
+    (a killed launcher alone leaves workers holding the stdout pipe and
+    blocks forever — advisor round-2 finding)."""
+    import signal
+
+    logs = []
+    try:
+        for p in procs:
+            logs.append(p.communicate(timeout=700)[0].decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+        raise
+    return logs
 
 
 def test_two_process_cluster_matches_single_process(tmp_path):
@@ -60,7 +85,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # --- the 2-process cluster ---------------------------------------
     outs = [str(tmp_path / f"rank{i}.json") for i in range(2)]
     procs = [_run_worker(outs[i], port, 2, i, env) for i in range(2)]
-    logs = [p.communicate(timeout=700)[0].decode(errors="replace") for p in procs]
+    logs = _communicate(procs)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-3000:]}"
     ranks = [json.load(open(o)) for o in outs]
@@ -78,7 +103,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # --- single-process reference of the SAME workload ----------------
     ref_out = str(tmp_path / "single.json")
     p = _run_worker(ref_out, 0, 0, 0, env)
-    log = p.communicate(timeout=700)[0].decode(errors="replace")
+    log = _communicate([p])[0]
     assert p.returncode == 0, f"single-process reference failed:\n{log[-3000:]}"
     ref = json.load(open(ref_out))
 
@@ -89,3 +114,37 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     np.testing.assert_allclose(ranks[0]["accs"], ref["accs"], rtol=0, atol=1e-6)
     assert ranks[0]["eval_total"] == ref["eval_total"]
     assert ranks[0]["eval_correct"] == ref["eval_correct"]
+
+
+def test_two_process_cluster_dist_host_tier(tmp_path):
+    """The FLAGSHIP COMPOSITION across a real process boundary (round-2
+    VERDICT #3): host-RAM-resident features AND structure (per-batch
+    staging, per-chip HBM hot tiers, intra-host peer-hot) on the 2-tier
+    ('host','data') mesh, run by a REAL 2-OS-process gloo cluster — and
+    the per-step losses must match the identical single-process run."""
+    env = _clean_env()
+    port = _free_port()
+
+    outs = [str(tmp_path / f"dh_rank{i}.json") for i in range(2)]
+    procs = [
+        _run_worker(outs[i], port, 2, i, env, tier="dist-host")
+        for i in range(2)
+    ]
+    logs = _communicate(procs)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-3000:]}"
+    ranks = [json.load(open(o)) for o in outs]
+    for r in ranks:
+        assert r["tier"] == "dist-host" and r["process_count"] == 2, r
+        assert np.all(np.isfinite(r["losses"])), r
+    assert ranks[0]["losses"] == ranks[1]["losses"]
+
+    ref_out = str(tmp_path / "dh_single.json")
+    p = _run_worker(ref_out, 0, 0, 0, env, tier="dist-host")
+    log = _communicate([p])[0]
+    assert p.returncode == 0, f"single-process reference failed:\n{log[-3000:]}"
+    ref = json.load(open(ref_out))
+    np.testing.assert_allclose(
+        ranks[0]["losses"], ref["losses"], rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(ranks[0]["accs"], ref["accs"], rtol=0, atol=1e-6)
