@@ -78,11 +78,12 @@ def _selfish_one(
     feature_heat: np.ndarray,
     capacity_bytes: int,
     cost: CostModel,
+    feature_row_bytes: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     s_hot = np.flatnonzero(sampling_heat)
     f_hot = np.flatnonzero(feature_heat)
     s_space = structure_space_bytes(graph, s_hot)
-    f_sz = feature_space_bytes(feature_dim)
+    f_sz = feature_row_bytes or feature_space_bytes(feature_dim)
     s_value = sampling_heat[s_hot] / s_space * cost.sampling_reduced_time()
     f_value = feature_heat[f_hot] / f_sz * cost.feature_reduced_time()
     f_space = np.full(len(f_hot), f_sz, dtype=np.int64)
@@ -96,14 +97,22 @@ def get_cache_nids_selfish(
     feature_heats: np.ndarray,  # [D, N]
     capacity_bytes: int,
     cost: Optional[CostModel] = None,
+    feature_row_bytes: Optional[int] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Per-device independent admission; returns [(structure_nids,
-    feature_nids)] per device."""
+    feature_nids)] per device.
+
+    ``feature_row_bytes`` overrides the f32 per-row cost — pass
+    ``feature_dim + 4`` for int8-packed hot tiers (ops/quantize.py): the
+    gather cost is per ROW (NOTES §6), so quantization's real value is
+    CAPACITY — ~4x more cached rows per byte, which this accounting makes
+    the knapsack exploit."""
     cost = cost or CostModel()
     out = []
     for d in range(sampling_heats.shape[0]):
         s, f, _ = _selfish_one(
-            graph, feature_dim, sampling_heats[d], feature_heats[d], capacity_bytes, cost
+            graph, feature_dim, sampling_heats[d], feature_heats[d],
+            capacity_bytes, cost, feature_row_bytes,
         )
         out.append((s, f))
     return out
@@ -116,6 +125,7 @@ def get_cache_nids_selfless(
     feature_heats: np.ndarray,
     capacity_bytes: int,
     cost: Optional[CostModel] = None,
+    feature_row_bytes: Optional[int] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Deduplicated admission: each hot node is admitted only on the device
     where it is hottest; leftover capacity refilled selfishly."""
@@ -131,7 +141,7 @@ def get_cache_nids_selfless(
         f_owned = np.flatnonzero((f_owner == d) & (f_heat_d > 0))
 
         s_space = structure_space_bytes(graph, s_owned)
-        f_sz = feature_space_bytes(feature_dim)
+        f_sz = feature_row_bytes or feature_space_bytes(feature_dim)
         s_value = s_heat_d[s_owned] / s_space * cost.sampling_reduced_time()
         f_value = f_heat_d[f_owned] / f_sz * cost.feature_reduced_time()
         f_space = np.full(len(f_owned), f_sz, dtype=np.int64)
@@ -152,6 +162,7 @@ def get_cache_nids_selfless(
                 f_heat_masked,
                 capacity_bytes - used,
                 cost,
+                feature_row_bytes,
             )
             s_nids = np.concatenate([s_nids, s_extra])
             f_nids = np.concatenate([f_nids, f_extra])
@@ -164,7 +175,8 @@ def get_cache_nids_selfless(
 
 
 def _total_value(
-    graph, feature_dim, s_heat, f_heat, s_nids, f_nids, bw_fast, cost
+    graph, feature_dim, s_heat, f_heat, s_nids, f_nids, bw_fast, cost,
+    feature_row_bytes=None,
 ) -> float:
     """``compute_total_value_selfish`` (``cache_value.py:314-343``) with a
     parameterisable fast-tier bandwidth."""
@@ -177,24 +189,27 @@ def _total_value(
         - cost.feature_read_bytes_fast / bw_fast
     )
     s_space = structure_space_bytes(graph, s_nids)
-    f_sz = feature_space_bytes(feature_dim)
+    f_sz = feature_row_bytes or feature_space_bytes(feature_dim)
     v = float(np.sum(s_heat[s_nids] / np.maximum(s_space, 1) * s_rt))
     v += float(np.sum(f_heat[f_nids] / f_sz * f_rt))
     return v
 
 
-def score_selfish(graph, feature_dim, heats, plans, cost) -> float:
+def score_selfish(graph, feature_dim, heats, plans, cost, feature_row_bytes=None) -> float:
     sampling_heats, feature_heats = heats
     return sum(
         _total_value(
             graph, feature_dim, sampling_heats[d], feature_heats[d],
             plans[d][0], plans[d][1], cost.bandwidth_hbm, cost,
+            feature_row_bytes,
         )
         for d in range(len(plans))
     )
 
 
-def score_selfless(graph, feature_dim, heats, plans, cost) -> float:
+def score_selfless(
+    graph, feature_dim, heats, plans, cost, feature_row_bytes=None
+) -> float:
     """``compute_total_value_selfless`` (``cache_value.py:347-409``): local
     hits at contended local bandwidth + peer hits at ICI bandwidth."""
     sampling_heats, feature_heats = heats
@@ -211,7 +226,7 @@ def score_selfless(graph, feature_dim, heats, plans, cost) -> float:
         s_nids, f_nids = plans[d]
         total += _total_value(
             graph, feature_dim, sampling_heats[d], feature_heats[d],
-            s_nids, f_nids, bw_local, cost,
+            s_nids, f_nids, bw_local, cost, feature_row_bytes,
         )
         s_mask = s_counts > 0
         f_mask = f_counts > 0
@@ -220,7 +235,7 @@ def score_selfless(graph, feature_dim, heats, plans, cost) -> float:
         total += _total_value(
             graph, feature_dim, sampling_heats[d], feature_heats[d],
             np.flatnonzero(s_mask), np.flatnonzero(f_mask),
-            cost.bandwidth_ici, cost,
+            cost.bandwidth_ici, cost, feature_row_bytes,
         )
         s_mask[s_nids] = True
         f_mask[f_nids] = True
@@ -234,18 +249,25 @@ def get_cache_nids_auto(
     feature_heats: np.ndarray,
     capacity_bytes: int,
     cost: Optional[CostModel] = None,
+    feature_row_bytes: Optional[int] = None,
 ) -> Tuple[str, List[Tuple[np.ndarray, np.ndarray]]]:
     """Score selfish vs selfless plans, return ('selfish'|'selfless', plans)."""
     cost = cost or CostModel()
     heats = (sampling_heats, feature_heats)
     selfish = get_cache_nids_selfish(
-        graph, feature_dim, sampling_heats, feature_heats, capacity_bytes, cost
+        graph, feature_dim, sampling_heats, feature_heats, capacity_bytes,
+        cost, feature_row_bytes,
     )
     selfless = get_cache_nids_selfless(
-        graph, feature_dim, sampling_heats, feature_heats, capacity_bytes, cost
+        graph, feature_dim, sampling_heats, feature_heats, capacity_bytes,
+        cost, feature_row_bytes,
     )
-    v_selfish = score_selfish(graph, feature_dim, heats, selfish, cost)
-    v_selfless = score_selfless(graph, feature_dim, heats, selfless, cost)
+    v_selfish = score_selfish(
+        graph, feature_dim, heats, selfish, cost, feature_row_bytes
+    )
+    v_selfless = score_selfless(
+        graph, feature_dim, heats, selfless, cost, feature_row_bytes
+    )
     if v_selfless > v_selfish:
         return "selfless", selfless
     return "selfish", selfish

@@ -106,26 +106,152 @@ def test_heat_multi_device_single_sweep():
         np.testing.assert_allclose(np.asarray(f_all[d]), np.asarray(f), rtol=1e-4)
 
 
-def test_heat_int64_indptr_path():
-    """The streamed row derivation must work with an int64 indptr (the
-    dtype graphs with >= 2^31 edges get — graph.py _min_indptr_dtype)."""
-    from dist_gnn_tpu.graph import Graph
-    from dist_gnn_tpu.ops.heat import get_node_heat
+def test_heat_host_streamed_matches_device_path(tmp_path):
+    """Scale-hardened planning (round-2 VERDICT #5): a MEMMAP-backed graph
+    with a forced device budget too small for the CSC (and for the full
+    [D, N] accumulators) must produce the exact same heats as the in-HBM
+    path — edges stream from host RAM, accumulators are D-grouped."""
+    from dist_gnn_tpu.cache.builder import build_cache_plan, compute_heats
 
-    hg = random_host_graph(n=80, e=640, seed=5)
-    g64 = Graph(
-        indptr=jnp.asarray(hg.indptr, jnp.int64),
-        indices=jnp.asarray(hg.indices),
-        probs=None,
-        num_nodes=hg.num_nodes,
-        num_edges=hg.num_edges,
-        max_degree=hg.max_degree,
+    rng = np.random.default_rng(41)
+    N, E, D = 500, 6000, 4
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    probs = (np.abs(rng.standard_normal(E)) + 0.01).astype(np.float32)
+    hg_mem = HostGraph.from_coo(src, dst, N, probs=probs)
+
+    # move indices/probs to disk-backed memmaps (host-tier premise)
+    idx_mm = np.memmap(
+        tmp_path / "idx.npy", dtype=np.int32, mode="w+",
+        shape=hg_mem.indices.shape,
     )
-    train = np.arange(0, 80, 9)
-    s64, f64 = get_node_heat(g64, jnp.asarray(train), [3, 5])
-    so, fo = oracle_heat(hg.indptr, hg.indices, train, [3, 5])
-    np.testing.assert_allclose(np.asarray(s64), so, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(f64), fo, rtol=1e-5)
+    idx_mm[:] = hg_mem.indices
+    pr_mm = np.memmap(
+        tmp_path / "pr.npy", dtype=np.float32, mode="w+",
+        shape=hg_mem.probs.shape,
+    )
+    pr_mm[:] = hg_mem.probs
+    hg_disk = HostGraph(indptr=hg_mem.indptr, indices=idx_mm, probs=pr_mm)
+
+    parts = [rng.choice(N, 40, replace=False) for _ in range(D)]
+    fan_out = (4, 3)
+    s_ref, f_ref = compute_heats(hg_mem, parts, fan_out)  # in-HBM path
+    # budget: fits 1 device-group's accumulators but NOT the structure
+    # (struct ~ E*8 bytes) nor all D at once → forces streaming + grouping
+    budget = 4 * 1 * N * 4 + 9 * N
+    s_str, f_str = compute_heats(
+        hg_disk, parts, fan_out, device_budget_bytes=budget
+    )
+    np.testing.assert_allclose(s_str, s_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(f_str, f_ref, rtol=1e-5, atol=1e-5)
+
+    # the full plan builds end-to-end under the budget (memmap stays on disk)
+    mode, s_hot, f_hot = build_cache_plan(
+        hg_disk, 8, parts, fan_out, capacity_bytes=10_000,
+        policy="selfish", device_budget_bytes=budget,
+    )
+    assert s_hot.shape[0] == D and f_hot.shape[0] == D
+
+    # uniform (no probs) streamed path too, with chunking smaller than rows
+    hg_u = HostGraph(indptr=hg_mem.indptr, indices=idx_mm)
+    s_ref_u, f_ref_u = compute_heats(hg_u, parts, fan_out)
+    from dist_gnn_tpu.ops.heat import get_node_heat_all_host
+
+    seeds = np.zeros((D, N), np.float32)
+    for d, p in enumerate(parts):
+        seeds[d, p] = 1.0
+    s_u, f_u = get_node_heat_all_host(
+        hg_u, seeds, list(fan_out), chunk=1024, device_budget_bytes=budget
+    )
+    np.testing.assert_allclose(s_u, s_ref_u, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(f_u, f_ref_u, rtol=1e-5, atol=1e-5)
+
+
+def test_heat_int64_indptr_path_x64_subprocess():
+    """The streamed row derivation with a REAL int64 indptr (the dtype
+    graphs with >= 2^31 edges get).  Runs in a JAX_ENABLE_X64 subprocess:
+    under the default config jnp.asarray silently truncates int64 to
+    int32, so the old in-process test had zero int64 coverage (round-2
+    VERDICT weak #3)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        from dist_gnn_tpu.utils.platform import force_cpu; force_cpu(1)
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp, numpy as np
+        from dist_gnn_tpu.graph import Graph, HostGraph
+        from dist_gnn_tpu.ops.heat import get_node_heat
+        rng = np.random.default_rng(5)
+        hg = HostGraph.from_coo(
+            rng.integers(0, 80, 640), rng.integers(0, 80, 640), 80
+        )
+        def build(dt):
+            return Graph(
+                indptr=jnp.asarray(hg.indptr, dt),
+                indices=jnp.asarray(hg.indices), probs=None,
+                num_nodes=hg.num_nodes, num_edges=hg.num_edges,
+                max_degree=hg.max_degree,
+            )
+        g64, g32 = build(jnp.int64), build(jnp.int32)
+        assert g64.indptr.dtype == jnp.int64, g64.indptr.dtype  # no truncation
+        train = jnp.asarray(np.arange(0, 80, 9))
+        s64, f64 = get_node_heat(g64, train, [3, 5])
+        s32, f32 = get_node_heat(g32, train, [3, 5])
+        np.testing.assert_allclose(np.asarray(s64), np.asarray(s32), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f64), np.asarray(f32), rtol=1e-6)
+        print("X64OK")
+        """
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_ENABLE_X64"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        timeout=300, cwd=repo,
+    )
+    out = p.stdout.decode(errors="replace")
+    assert p.returncode == 0, out + p.stderr.decode(errors="replace")[-2000:]
+    assert "X64OK" in out
+
+
+def test_indptr_dtype_selection_beyond_2_31_edges(tmp_path):
+    """>= 2^31-edge graphs must select int64 indptr, and host-side hop
+    staging must address edge offsets past 2^31 — exercised on a SPARSE
+    memmap (nothing materialised; only the touched slices hit disk)."""
+    from dist_gnn_tpu.graph import _min_indptr_dtype
+    from dist_gnn_tpu.host_tier import plan_hop_arrays
+
+    assert _min_indptr_dtype(2**31 - 1) == np.int32
+    assert _min_indptr_dtype(2**31) == np.int64
+
+    nnz = 2**31 + 64
+    idx = np.memmap(
+        tmp_path / "big_indices.bin", dtype=np.int32, mode="w+", shape=(nnz,)
+    )
+    N = 3
+    # row 0: 16 edges at the start; row 1: one giant untouched hub; row 2:
+    # 16 edges past the 2^31 boundary
+    indptr = np.array([0, 16, nnz - 16, nnz], np.int64)
+    idx[:16] = np.arange(16) % N
+    idx[nnz - 16 :] = (np.arange(16) + 1) % N
+    hg = HostGraph(indptr=indptr, indices=idx)
+    assert hg.num_edges == nnz
+
+    seeds = np.array([0, 2], np.int32)
+    local_rows, arrs, m, ovf = plan_hop_arrays(
+        indptr, idx, np.empty(0, np.int32), 4, 32, seeds,
+        np.ones(2, bool), 3, np.random.default_rng(0),
+    )
+    assert m == 2 and ovf == 0
+    np.testing.assert_array_equal(arrs["window"][0][:16], idx[:16])
+    np.testing.assert_array_equal(arrs["window"][1][:16], idx[nnz - 16 :])
+    assert (arrs["deg"][:2] == 16).all()
 
 
 class TestPolicy:
@@ -189,6 +315,25 @@ class TestPolicy:
         )
         assert mode in ("selfish", "selfless")
         assert len(plans) == 2
+
+    def test_quantized_row_bytes_buys_capacity(self):
+        """Round-2 VERDICT #9: int8 hot tiers double-to-quadruple cached
+        rows per byte; with ``feature_row_bytes`` the knapsack admits
+        ~4x the feature rows at equal capacity (gather cost is per-row,
+        NOTES §6, so capacity IS the win)."""
+        F = 64
+        f32_plans = get_cache_nids_selfish(
+            self.hg, F, self.s_heats * 0, self.f_heats, 8_000, self.cost
+        )
+        int8_plans = get_cache_nids_selfish(
+            self.hg, F, self.s_heats * 0, self.f_heats, 8_000, self.cost,
+            feature_row_bytes=F + 4,  # ops/quantize packed layout
+        )
+        n_f32 = len(f32_plans[0][1])
+        n_int8 = len(int8_plans[0][1])
+        assert n_int8 >= 3 * n_f32 or n_int8 == np.sum(self.f_heats[0] > 0), (
+            n_f32, n_int8,
+        )
 
 
 def test_calibrate_ici_runs_on_mesh():
