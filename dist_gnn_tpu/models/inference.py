@@ -149,6 +149,172 @@ def _gat_aggregate_span(
     return out.astype(z.dtype)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_sum_slab(acc, local_ptr, off0, src_feats, n_valid):
+    """One staged edge slab of neighbor-sum accumulation: src_feats [E, F]
+    were gathered HOST-side for edges [off0, off0+n_valid); rows derive
+    from the absolute offsets via searchsorted into the chunk's indptr
+    slice.  Device state is O(num_dst * F + E * F) only."""
+    E = src_feats.shape[0]
+    off = off0 + jnp.arange(E, dtype=local_ptr.dtype)
+    valid = jnp.arange(E) < n_valid
+    rows = jnp.clip(
+        (jnp.searchsorted(local_ptr, off, side="right") - 1).astype(jnp.int32),
+        0, acc.shape[0] - 1,
+    )
+    msg = jnp.where(valid[:, None], src_feats, 0)
+    return acc + jax.ops.segment_sum(msg, rows, num_segments=acc.shape[0])
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _gat_acc_slab(
+    m, s, acc, local_ptr, off0, z_src, er_src, el_dst, n_valid, negative_slope
+):
+    """One staged slab of online-softmax attention accumulation
+    (flash-style renormalisation, same math as :func:`_gat_aggregate_span`
+    but with host-staged z/er instead of device-resident [N, ...] state)."""
+    E, H, d = z_src.shape
+    num_dst = el_dst.shape[0]
+    neg = jnp.float32(-1e30)
+    off = off0 + jnp.arange(E, dtype=local_ptr.dtype)
+    valid = jnp.arange(E) < n_valid
+    rows = jnp.clip(
+        (jnp.searchsorted(local_ptr, off, side="right") - 1).astype(jnp.int32),
+        0, num_dst - 1,
+    )
+    score = jax.nn.leaky_relu(
+        (el_dst[rows] + er_src).astype(jnp.float32), negative_slope
+    )
+    score = jnp.where(valid[:, None], score, neg)
+    m_c = jax.ops.segment_max(score, rows, num_segments=num_dst)
+    m_new = jnp.maximum(m, m_c)
+    scale = jnp.exp(m - m_new)
+    w = jnp.where(valid[:, None], jnp.exp(score - m_new[rows]), 0.0)
+    s = s * scale + jax.ops.segment_sum(w, rows, num_segments=num_dst)
+    contrib = jax.ops.segment_sum(
+        w[:, :, None] * z_src.astype(jnp.float32), rows, num_segments=num_dst
+    )
+    acc = acc * scale[..., None] + contrib
+    return m_new, s, acc
+
+
+def full_graph_inference_host(
+    model,
+    params,
+    hg: HostGraph,
+    host_features: np.ndarray,
+    node_chunk: int = 4096,
+    edge_chunk: int = 1 << 14,
+) -> np.ndarray:
+    """Full-graph layer-wise inference in the HOST-RESIDENT regime
+    (round-2 VERDICT #6): features AND per-layer activations live in host
+    RAM (numpy or np.memmap — no [N, *] array ever touches HBM).
+
+    The reference's layer-wise inference reads features from pinned host
+    memory over UVA inside the kernel
+    (``example/graphsage/utils/models.py:57-97``); the TPU analog stages
+    each destination chunk's edge span slab-by-slab: the slab's source
+    activations are gathered host-side (csrc gather_rows) and shipped with
+    one async device_put, the device runs segment-sum / online-softmax
+    accumulation with state bounded by O(node_chunk*F + edge_chunk*F).
+
+    Supports SAGE (mean), GCN (true-degree symmetric norm), GAT
+    (flash-style online softmax across slabs).  Returns [N, C] numpy.
+    """
+    from dist_gnn_tpu.utils import native
+
+    N = hg.num_nodes
+    indptr_np = np.asarray(hg.indptr, np.int64)
+    deg_np = np.diff(indptr_np)
+    h_host = host_features  # never uploaded wholesale
+    is_gat = hasattr(model, "_project")
+    is_gcn = (not is_gat) and not hasattr(model, "_layer_forward")
+    if is_gcn:
+        inv_sqrt_np = (1.0 / np.sqrt(deg_np + 1)).astype(np.float32)
+
+    ptr_pad_dt = np.int64
+    for l in range(len(model.dims)):
+        p = params[f"layer{l}"]
+        if is_gat:
+            d_out, last = model.dims[l][1], model.dims[l][2]
+            H = model.num_heads
+            out_dim = model.dims[l][1] * (1 if last else H)
+        else:
+            d_out = model.dims[l][1]
+            out_dim = d_out
+        out_host = np.empty((N, out_dim), np.float32)
+        F = h_host.shape[1]
+        for lo in range(0, N, node_chunk):
+            num = min(node_chunk, N - lo)
+            e_lo = int(indptr_np[lo])
+            e_hi = int(indptr_np[lo + num])
+            # padded local indptr: tail rows get degree 0
+            lptr = np.full(node_chunk + 1, e_hi, ptr_pad_dt)
+            lptr[: num + 1] = indptr_np[lo : lo + num + 1]
+            lptr_d = jnp.asarray(lptr)
+            h_self = np.zeros((node_chunk, F), np.float32)
+            h_self[:num] = h_host[lo : lo + num]
+            if is_gat:
+                h_self_d = jnp.asarray(h_self)
+                z_self, el_self, _ = model._project(p, h_self_d, d_out)
+                m = jnp.full((node_chunk, H), jnp.float32(-1e30))
+                s = jnp.zeros((node_chunk, H), jnp.float32)
+                acc = jnp.zeros((node_chunk, H, d_out), jnp.float32)
+            else:
+                acc = jnp.zeros((node_chunk, F), jnp.float32)
+            for b0 in range(e_lo, e_hi, edge_chunk):
+                n_valid = min(edge_chunk, e_hi - b0)
+                src = np.zeros(edge_chunk, np.int32)
+                src[:n_valid] = hg.indices[b0 : b0 + n_valid]
+                buf = np.zeros((edge_chunk, F), np.float32)
+                native.gather_rows(h_host, src[:n_valid], out=buf[:n_valid])
+                if is_gcn:
+                    buf[:n_valid] *= inv_sqrt_np[src[:n_valid], None]
+                if is_gat:
+                    z_src, _, er_src = model._project(
+                        p, jnp.asarray(buf), d_out
+                    )
+                    m, s, acc = _gat_acc_slab(
+                        m, s, acc, lptr_d, jnp.asarray(np.int64(b0)),
+                        z_src.reshape(edge_chunk, H, d_out), er_src,
+                        el_self, jnp.asarray(np.int32(n_valid)),
+                        jnp.float32(model.negative_slope),
+                    )
+                else:
+                    acc = _acc_sum_slab(
+                        acc, lptr_d, jnp.asarray(np.int64(b0)),
+                        jnp.asarray(buf), jnp.asarray(np.int32(n_valid)),
+                    )
+            deg_c = jnp.asarray(
+                np.maximum(deg_np[lo : lo + num], 1).astype(np.float32)
+            )
+            if is_gat:
+                agg = (acc / jnp.maximum(s, 1e-12)[..., None]).astype(
+                    jnp.float32
+                )[:num]
+                out = model._combine(p, agg, d_out, last)
+            elif is_gcn:
+                inv_dst = jnp.asarray(inv_sqrt_np[lo : lo + num])
+                agg = acc[:num] * inv_dst[:, None] + jnp.asarray(
+                    h_self[:num]
+                ) * (inv_dst**2)[:, None]
+                out = (
+                    jnp.dot(agg, p["w"].astype(agg.dtype),
+                            preferred_element_type=jnp.float32)
+                    + p["b"]
+                ).astype(jnp.float32)
+            else:
+                h_mean = acc[:num] / deg_c[:, None]
+                out = model._layer_forward(
+                    p, jnp.asarray(h_self[:num]), h_mean
+                )
+            if not is_gat and l != len(model.dims) - 1:
+                out = jax.nn.relu(out)
+            out_host[lo : lo + num] = np.asarray(out, np.float32)
+        h_host = out_host
+    return h_host
+
+
 def full_graph_inference(
     model,
     params,

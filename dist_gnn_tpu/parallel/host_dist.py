@@ -679,9 +679,12 @@ class DistHostTrainer:
         rng = np.random.default_rng(
             np.uint32(np.asarray(jax.random.key_data(key)).ravel()[-1])
         )
+        import time as _time
+
         for i, (seeds_np, mask_np) in enumerate(batches):
             seeds_np, mask_np = np.asarray(seeds_np), np.asarray(mask_np)
             k_i = jax.random.fold_in(key, i)
+            t_sample = _time.perf_counter()
             if self.gstore is not None:
                 block_arrs, host_stats, frontier_np, fmask_np = (
                     self._sample_host_struct(seeds_np, mask_np, k_i, rng)
@@ -698,12 +701,19 @@ class DistHostTrainer:
                     "sampler_overflow": int(self._read(
                         samp_stats["sampler_overflow"])[0]),
                 }
+            host_stats["sample_ms"] = (_time.perf_counter() - t_sample) * 1e3
             if pend is not None:
                 args, stats_prev = pend
                 state, m = self.compute_phase(state, *args)
                 metrics.append({**m, **stats_prev})
+            # stage i+1 rides under compute i (just queued above) — the
+            # host wall time spent here is the overlap budget; report it
+            # so "step ≈ max(compute, staging)" is observable per batch
+            # (round-2 VERDICT #7)
+            t_stage = _time.perf_counter()
             staged = self.store.stage(frontier_np, fmask_np)
             lab = labels_np[np.where(mask_np, seeds_np, 0)].astype(np.int32)
+            host_stats["stage_ms"] = (_time.perf_counter() - t_stage) * 1e3
             host_stats["feat_miss"] = staged.count
             host_stats["feat_overflow"] = staged.overflow
             pend = (

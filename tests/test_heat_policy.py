@@ -336,6 +336,26 @@ class TestPolicy:
         )
 
 
+def test_calibrate_host_staging_runs():
+    """Staging-tier probe executes (numbers meaningless on CPU, but the
+    gather + slope-timed H2D path and the CostModel plumbing are real):
+    bandwidth_host must become the serial combination of the two measured
+    legs and feed straight into the reduced-time scores."""
+    from dist_gnn_tpu.cache.cost_model import CostModel, calibrate_host_staging
+
+    cm = calibrate_host_staging(
+        feature_dim=32, base_rows=1 << 12, batch_rows=1 << 9, reps=2
+    )
+    assert cm.staging_gather_bandwidth > 0
+    assert cm.staging_h2d_bandwidth > 0
+    expect = 1.0 / (
+        1.0 / cm.staging_gather_bandwidth + 1.0 / cm.staging_h2d_bandwidth
+    )
+    assert abs(cm.bandwidth_host - expect) < 1e-6 * expect
+    # the measured host tier flows into the knapsack value scale
+    assert cm.sampling_reduced_time() != CostModel().sampling_reduced_time()
+
+
 def test_calibrate_ici_runs_on_mesh():
     """ICI probe executes on the CPU mesh (numbers meaningless off-TPU,
     but the collective path and shapes are exercised)."""
