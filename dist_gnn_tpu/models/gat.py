@@ -111,52 +111,74 @@ class GAT:
         rng: jax.Array | None = None,
         contiguous_first: bool = False,
     ) -> jnp.ndarray:
+        """Aggregate-then-project formulation (probe_gat1, round-3):
+
+        Because every neighbor shares the projection W, attention commutes
+        with it:  sum_j a_ij (W x_j) = W (sum_j a_ij x_j);  and the SDDMM
+        halves fold through W too:  a_l . (W x) = (W^T a_l) . x.  So the
+        [S*k, H*d] projected tensor z is NEVER materialized in training —
+        scores come from one [*, 2H] matmul against the folded W @ A, and
+        the per-head weighted sum runs over the RAW inputs [S, k, d_in]
+        before a tiny [S, d_in] x [d_in, d] projection per head.  Measured
+        at bench layer-0 shapes (S=26624, k=15, H=4, d=128, in=100 bf16):
+        fwd 2.82 -> 2.05 ms, value_and_grad 9.38 -> 4.66 ms vs the
+        project-first per-head form (probe_gat1 on v5e); the FLOP count
+        drops k-fold on the projection (z cost S*k*d_in*H*d -> S*d_in*H*d).
+        Exact up to f32/bf16 accumulation order (max|diff| ~ bf16 eps).
+        ``_project`` (z-based) is kept for the layer-wise inference paths
+        that genuinely reuse z across destination chunks.
+        """
         H = self.num_heads
         cd = self.compute_dtype
         h = x if cd is None else x.astype(cd)
         for l, block in enumerate(blocks):
             d_in, d_out, last = self.dims[l]
             p = params[f"layer{l}"]
-            # SDDMM: per-edge unnormalised scores on the sampled block
-            z, el_all, er = self._project(p, h, d_out)  # z FLAT [*, H*d]
-            el = el_all[: block.num_dst]  # [S, H]
+            w = p["w"] if cd is None else p["w"].astype(cd)
+            # folded SDDMM: el/er = h @ (W @ A), A the [H*d, 2H]
+            # block-diagonal attention matrix — no z
+            eye = jnp.eye(H, dtype=jnp.float32)
+            al = jnp.einsum(
+                "hd,hg->hdg", p["a_l"].astype(jnp.float32), eye
+            ).reshape(H * d_out, H)
+            ar = jnp.einsum(
+                "hd,hg->hdg", p["a_r"].astype(jnp.float32), eye
+            ).reshape(H * d_out, H)
+            WA = jnp.dot(
+                w.astype(jnp.float32), jnp.concatenate([al, ar], axis=1)
+            )  # [d_in, 2H] — tiny
+            eler = jnp.dot(
+                h, WA.astype(h.dtype), preferred_element_type=jnp.float32
+            )  # [*, 2H]
+            el = eler[: block.num_dst, :H]  # [S, H]
             S_, k_ = block.neigh_mask.shape
             if l == 0 and contiguous_first:
-                er_n = er[block.num_dst :].reshape(S_, k_, H)
+                er_n = eler[block.num_dst :, H:].reshape(S_, k_, H)
+                x_n = h[block.num_dst :].reshape(S_, k_, d_in)
             else:
-                er_n = er[block.neigh_slots]  # [S, k, H]
+                sel = eler[block.neigh_slots]  # [S, k, 2H]
+                er_n = sel[..., H:]
+                x_n = h[block.neigh_slots]  # [S, k, d_in]
             scores = jax.nn.leaky_relu(
                 el[:, None, :] + er_n, self.negative_slope
             )
             alpha = masked_segment_softmax(scores, block.neigh_mask)  # [S, k, H]
-            if l == 0 and contiguous_first:
-                # per-head aggregation over 128-lane slices of the FLAT z:
-                # the [S, k, H, d] form puts H on the sublane axis (>=50%
-                # VPU waste at H=4) and its alpha broadcast re-materializes
-                # the whole tensor; per-head slices keep clean (k, d)
-                # tiling.  Layer-0 fwd measured 7.6 -> ~2 ms (probe_step24)
-                z_nb = z[block.num_dst :]
-                outs = [
-                    jnp.sum(
-                        z_nb[:, hh * d_out : (hh + 1) * d_out].reshape(
-                            S_, k_, d_out
-                        )
-                        * alpha[:, :, hh, None].astype(z.dtype),
-                        axis=1,
-                    )
-                    for hh in range(H)
-                ]
-                h = self._combine_heads(p, outs, d_out, last)
-                if not last and train and self.dropout > 0:
-                    assert rng is not None
-                    rng, sub = jax.random.split(rng)
-                    keep = dropout_keep(sub, h.shape, 1 - self.dropout)
-                    h = jnp.where(keep, h / (1 - self.dropout), 0)
-                h = h.astype(x.dtype)
-                continue
-            z_n = z[block.neigh_slots].reshape(S_, k_, H, d_out)
-            out = jnp.sum(z_n * alpha[..., None].astype(z_n.dtype), axis=1)
-            h = self._combine(p, out, d_out, last)
+            # per-head: weighted-sum the raw inputs, then project.  The
+            # per-head loop keeps clean (k, d_in) VPU tiling (H on the
+            # sublane axis wastes >=50% at H=4 — probe_step24), and the
+            # projections are H small MXU matmuls.
+            outs = []
+            for hh in range(H):
+                agg = jnp.sum(
+                    x_n * alpha[:, :, hh, None].astype(x_n.dtype), axis=1
+                )  # [S, d_in]
+                outs.append(
+                    jnp.dot(
+                        agg, w[:, hh * d_out : (hh + 1) * d_out],
+                        preferred_element_type=jnp.float32,
+                    ).astype(x_n.dtype)
+                )
+            h = self._combine_heads(p, outs, d_out, last)
             if not last and train and self.dropout > 0:
                 assert rng is not None
                 rng, sub = jax.random.split(rng)

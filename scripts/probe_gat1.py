@@ -107,7 +107,63 @@ def main():
         )  # [S,H,1,D]
         return out[:, :, 0, :].reshape(S, HD).astype(z.dtype)
 
-    variants = dict(cur=agg_cur, a16=agg_a16, rsh=agg_rsh, bmm=agg_bmm)
+    def common_noz(w_, x_):
+        """Scores WITHOUT materializing z: el/er = z @ A = x @ (W @ A),
+        a [D_IN, 2H] folded matrix — the [S*K, H*D] projection never
+        happens for scoring."""
+        eye = jnp.eye(H, dtype=jnp.float32)
+        al = jnp.einsum("hd,hg->hdg", a_l, eye).reshape(HD, H)
+        ar = jnp.einsum("hd,hg->hdg", a_r, eye).reshape(HD, H)
+        A = jnp.concatenate([al, ar], axis=1)  # [HD, 2H]
+        WA = jnp.dot(w_.astype(jnp.float32), A)  # [D_IN, 2H] — tiny
+        eler = jnp.dot(
+            x_, WA.astype(x_.dtype), preferred_element_type=jnp.float32
+        )
+        el = eler[:S, :H]
+        er_n = eler[S:, H:].reshape(S, K, H)
+        scores = jax.nn.leaky_relu(el[:, None, :] + er_n, NEG)
+        return softmax(scores)  # [S, K, H]
+
+    def agg_agp(w_, x_=None):
+        """Aggregate-then-project (exact: attention commutes with the
+        shared W): weighted-sum RAW x (E=100-dim) per head, then one
+        [S, E] x [E, D] matmul per head — z is never materialized."""
+        x_ = x if x_ is None else x_
+        alpha = common_noz(w_, x_)
+        x_n = x_[S:].reshape(S, K, D_IN)
+        outs = []
+        for h in range(H):
+            agg = jnp.sum(x_n * alpha[:, :, h, None].astype(x_n.dtype), axis=1)
+            outs.append(
+                jnp.dot(
+                    agg, w_[:, h * D_OUT : (h + 1) * D_OUT],
+                    preferred_element_type=jnp.float32,
+                ).astype(x_n.dtype)
+            )
+        return jnp.concatenate(outs, axis=1)
+
+    def agg_agb(w_, x_=None):
+        """Aggregate-then-project with a single batched einsum over heads
+        (one pass over x_n instead of H)."""
+        x_ = x if x_ is None else x_
+        alpha = common_noz(w_, x_)
+        x_n = x_[S:].reshape(S, K, D_IN)
+        agg = jnp.einsum(
+            "skh,ske->she", alpha.astype(x_n.dtype), x_n
+        )  # [S, H, E]
+        outs = [
+            jnp.dot(
+                agg[:, h, :], w_[:, h * D_OUT : (h + 1) * D_OUT],
+                preferred_element_type=jnp.float32,
+            ).astype(x_n.dtype)
+            for h in range(H)
+        ]
+        return jnp.concatenate(outs, axis=1)
+
+    variants = dict(
+        cur=agg_cur, a16=agg_a16, rsh=agg_rsh, bmm=agg_bmm,
+        agp=agg_agp, agb=agg_agb,
+    )
     for name, fn in variants.items():
         def fwd_step(c, x_arg, fn=fn):
             # carry perturbation must be non-foldable (NOT *0) and the FULL
@@ -137,7 +193,7 @@ def main():
 
     # numerical agreement
     outs = {n: np.asarray(fn(w, x), np.float32) for n, fn in variants.items()}
-    for n in ("a16", "rsh", "bmm"):
+    for n in ("a16", "rsh", "bmm", "agp", "agb"):
         d = np.abs(outs[n] - outs["cur"]).max()
         print(f"max|{n} - cur| = {d:.5f}")
 
