@@ -151,11 +151,23 @@ class HostGraph:
                 [arr, np.full((pad_n,), value, arr.dtype)]
             )
 
-        alias_prob = alias_idx = None
+        alias_prob = alias_idx = alias_pack = None
         if with_alias and self.probs is not None:
             ap, ai = self.build_alias_tables()
             alias_prob = put(pad_edges(ap, 0))
             alias_idx = put(pad_edges(ai, 0))
+            # packed (prob-bits, idx) pairs: the biased samplers' per-draw
+            # (prob, alias) lookup becomes ONE 2-wide row gather instead of
+            # two elementwise gathers (gather cost is per-slice on TPU —
+            # NOTES.md §6) — ~2x on the alias hot path
+            pack = np.empty((ap.shape[0], 2), np.int32)
+            pack[:, 0] = ap.astype(np.float32).view(np.int32)
+            pack[:, 1] = ai.astype(np.int32)
+            if pad_n:
+                pack = np.concatenate(
+                    [pack, np.zeros((pad_n, 2), np.int32)]
+                )
+            alias_pack = put(pack)
         indptr_pairs = None
         if with_indptr_pairs:
             # [N, 2] (start, end) rows: one row gather per seed replaces two
@@ -165,32 +177,48 @@ class HostGraph:
             indptr_pairs = put(
                 np.stack([self.indptr[:-1], self.indptr[1:]], axis=1)
             )
-        def build_pair(W: int):
-            # pair layout of `indices` at window W: concat of the two
-            # 2W-aligned reshapes — any W-granular 2W-window is one row
-            # (ops/sampling._window_select_multi).  Costs nnz*4B extra HBM.
+        def build_pair(W: int, flats):
+            # pair layout at window W: concat of the two 2W-aligned
+            # reshapes — any W-granular 2W-window is one row
+            # (ops/sampling._window_select_multi).  With several flats the
+            # per-array windows are concatenated ALONG THE ROW, so one row
+            # gather fetches all of them (ids+probs for the biased Gumbel
+            # level).  Costs nnz*4B extra HBM per flat.
             n1 = -(-self.num_edges // W)
-            padded = np.zeros(n1 * W, np.int32)
-            padded[: self.num_edges] = self.indices
             ra = n1 // 2
             rows_b = (n1 - 1) // 2
-            view_a = padded[: ra * 2 * W].reshape(ra, 2 * W)
-            view_b = padded[W : W + rows_b * 2 * W].reshape(rows_b, 2 * W)
-            return put(np.concatenate([view_a, view_b], axis=0)), ra
+            parts_a, parts_b = [], []
+            for flat in flats:
+                padded = np.zeros(n1 * W, np.int32)
+                padded[: self.num_edges] = flat
+                parts_a.append(padded[: ra * 2 * W].reshape(ra, 2 * W))
+                parts_b.append(
+                    padded[W : W + rows_b * 2 * W].reshape(rows_b, 2 * W)
+                )
+            cat = lambda ps: ps[0] if len(ps) == 1 else np.concatenate(ps, 1)
+            return put(np.concatenate([cat(parts_a), cat(parts_b)], 0)), ra
 
         win_pair = win_pair2 = None
         rows_a = rows_a2 = 0
         w1 = w2 = 0
+        pair_width = 1
         if window_pair:
             # int -> one level-1 layout; (W1, W2) -> a second layout for
-            # the hub-cascade level too (halves its fetched row count)
+            # the hub-cascade level too (halves its fetched row count).
+            # With probs, ids+probs share one combined layout: the biased
+            # Gumbel level's window fetch becomes ONE row gather (ids-only
+            # consumers slice columns [:2W] — a fused slice, not a copy).
             if isinstance(window_pair, (tuple, list)):
                 w1, w2 = int(window_pair[0]), int(window_pair[1])
             else:
                 w1 = int(window_pair)
-            win_pair, rows_a = build_pair(w1)
+            flats = [self.indices.astype(np.int32)]
+            if self.probs is not None:
+                flats.append(self.probs.astype(np.float32).view(np.int32))
+                pair_width = 2
+            win_pair, rows_a = build_pair(w1, flats)
             if w2:
-                win_pair2, rows_a2 = build_pair(w2)
+                win_pair2, rows_a2 = build_pair(w2, flats)
         return Graph(
             indptr=put(self.indptr),
             indices=put(pad_edges(self.indices.astype(np.int32), self.num_nodes)),
@@ -202,6 +230,7 @@ class HostGraph:
             max_degree=self.max_degree,
             alias_prob=alias_prob,
             alias_idx=alias_idx,
+            alias_pack=alias_pack,
             indptr_pairs=indptr_pairs,
             win_pair=win_pair,
             win_pair_w=w1,
@@ -209,6 +238,7 @@ class HostGraph:
             win_pair2=win_pair2,
             win_pair2_w=w2,
             win_pair2_rows_a=rows_a2,
+            win_pair_width=pair_width,
         )
 
 
@@ -247,6 +277,14 @@ class Graph:
     win_pair2_rows_a: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # arrays interleaved along the pair row: 1 = ids only ([*, 2W] rows),
+    # 2 = ids|probs-bits combined ([*, 4W] rows — biased graphs)
+    win_pair_width: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
+    # packed [(padded) nnz, 2] int32 (alias-prob bits, alias idx) — one
+    # row gather per alias draw instead of two elementwise gathers
+    alias_pack: Optional[jnp.ndarray] = None
 
     @property
     def has_probs(self) -> bool:

@@ -262,12 +262,32 @@ def _window_fetch(
 
 def _indices_pair(graph: Graph, window):
     """(C, rows_a) pair layout for graph.indices when one was built at the
-    matching W (Graph.win_pair / win_pair2); None otherwise."""
+    matching W (Graph.win_pair / win_pair2); None otherwise.  On combined
+    ids|probs layouts (win_pair_width == 2) the ids half is a column slice
+    — XLA fuses the slice into the row gather, no copy."""
     w1 = window[0] if isinstance(window, (tuple, list)) else window
     if graph.win_pair is not None and graph.win_pair_w == w1:
-        return ((graph.win_pair, graph.win_pair_rows_a),)
+        C = graph.win_pair
+        if graph.win_pair_width == 2:
+            C = C[:, : 2 * w1]
+        return ((C, graph.win_pair_rows_a),)
     if graph.win_pair2 is not None and graph.win_pair2_w == w1:
-        return ((graph.win_pair2, graph.win_pair2_rows_a),)
+        C = graph.win_pair2
+        if graph.win_pair_width == 2:
+            C = C[:, : 2 * w1]
+        return ((C, graph.win_pair2_rows_a),)
+    return None
+
+
+def _bias_pair(graph: Graph, W: int):
+    """(C, rows_a) COMBINED ids|probs pair layout at window W (rows are
+    [ids 2W | probs-bits 2W]); None when not built."""
+    if graph.win_pair_width != 2:
+        return None
+    if graph.win_pair is not None and graph.win_pair_w == W:
+        return graph.win_pair, graph.win_pair_rows_a
+    if graph.win_pair2 is not None and graph.win_pair2_w == W:
+        return graph.win_pair2, graph.win_pair2_rows_a
     return None
 
 
@@ -382,11 +402,22 @@ def _gumbel_window_level(
     adj0 = (start - r0.astype(start.dtype) * W).astype(jnp.int32)  # [B]
     fits = row_mask & (adj0 + deg <= 2 * W) & (deg > 0)
 
-    pairs = _indices_pair(graph, W)
-    (wids,), _ = _window_select_raw(
-        (graph.indices,), num_edges, r0, W, pairs=pairs
-    )
-    (wprob,), _ = _window_select_raw((graph.probs,), num_edges, r0, W)
+    combo = _bias_pair(graph, W)
+    if combo is not None:
+        # ONE [B, 4W] row gather serves both ids and probs (row-gather cost
+        # is per-slice, ~flat in width — NOTES.md §6): 3 fetched rows/seed
+        # (ids pair + 2x probs) become 1
+        C, rows_a = combo
+        row = jnp.where(r0 % 2 == 0, r0 // 2, rows_a + (r0 - 1) // 2)
+        both = C[row]
+        wids = both[:, : 2 * W]
+        wprob = jax.lax.bitcast_convert_type(both[:, 2 * W :], jnp.float32)
+    else:
+        pairs = _indices_pair(graph, W)
+        (wids,), _ = _window_select_raw(
+            (graph.indices,), num_edges, r0, W, pairs=pairs
+        )
+        (wprob,), _ = _window_select_raw((graph.probs,), num_edges, r0, W)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * W), 1)
     in_row = (col >= adj0[:, None]) & (col < (adj0 + deg)[:, None])
@@ -470,8 +501,15 @@ def _alias_distinct_tail(graph: Graph, start, deg, row_mask, k: int, row_key):
     bits_u = prng.mix32(bits_slot ^ jnp.uint32(0x5BD1E995))
     j = prng.uniform_mod(bits_slot, deg[:, None])
     pos = jnp.clip(start[:, None] + j.astype(start.dtype), 0, nnz)
-    pr = graph.alias_prob[pos]
-    al = graph.alias_idx[pos]
+    if graph.alias_pack is not None:
+        # one [R, T] row gather of (prob-bits, idx) pairs — half the
+        # slices of the two separate elementwise gathers
+        pk = graph.alias_pack[pos]  # [R, T, 2]
+        pr = jax.lax.bitcast_convert_type(pk[:, :, 0], jnp.float32)
+        al = pk[:, :, 1]
+    else:
+        pr = graph.alias_prob[pos]
+        al = graph.alias_idx[pos]
     u = prng.bits_to_uniform(bits_u)
     draws = jnp.where(u < pr, j, al.astype(j.dtype))
     eq = draws[:, :, None] == draws[:, None, :]
@@ -479,14 +517,14 @@ def _alias_distinct_tail(graph: Graph, start, deg, row_mask, k: int, row_key):
     first = ~jnp.any(eq & earlier[None], axis=2) & row_mask[:, None]
     rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
     take = first & (rank < k)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
-    sel = (
-        jnp.zeros((R, k), jnp.int32)
-        .at[jnp.where(take, row_i, R), jnp.where(take, rank, 0)]
-        .set(draws.astype(jnp.int32), mode="drop")
+    # route draw -> slot with a one-hot select over the T axis (the 2-D
+    # scatter this replaces cost ~0.8 ms at [1024, 60] — probe_bias1)
+    jslots = jax.lax.broadcasted_iota(jnp.int32, (R, k), 1)
+    hit = take[:, None, :] & (rank[:, None, :] == jslots[:, :, None])
+    sel = jnp.sum(
+        jnp.where(hit, draws[:, None, :].astype(jnp.int32), 0), axis=2
     )
     got_n = jnp.sum(take.astype(jnp.int32), axis=1)
-    jslots = jax.lax.broadcasted_iota(jnp.int32, (R, k), 1)
     got = (jslots < jnp.minimum(got_n, jnp.minimum(deg, k))[:, None]) & row_mask[:, None]
     pos_k = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
     ids = jnp.where(got, graph.indices[pos_k], INVALID_ID)
