@@ -68,36 +68,19 @@ def _pow2_at_least(x: int, lo: int = 32, hi: int = 4096) -> int:
     return w
 
 
-def tune_sampler(
+def _simulate_hops(
     indptr: np.ndarray,
     indices: np.ndarray,
     train_idx: np.ndarray,
     batch_size: int,
     fan_out: Sequence[int],
-    *,
-    trials: int = 4,
-    slack: float = 1.3,
-    cap_slack: float = 1.05,
-    r1_target: int = 8192,
-    r2_target: int = 1024,
-    seed: int = 0,
-) -> SamplerConfig:
-    """Pick (window, big_row_budget, frontier_caps) for ``sample_blocks``.
-
-    Simulates ``trials`` batches with a numpy sampler that mirrors the real
-    one's frontier accounting (distinct per-row draws; hops relabel/dedup
-    except the final hop, which is dedup-free).  Static knobs come from
-    observed maxima:
-
-      * ``frontier_caps[i]``: max relabeled frontier across trials x
-        ``cap_slack``, rounded up to 512 (the final hop keeps the padded
-        worst case — it is never relabeled);
-      * ``W1``: smallest power of two covering most frontier rows' degree
-        span, chosen so at most ~``r1_target`` rows/hop overflow level 1;
-      * ``R1``/``W2``/``R2``: observed level-overflow row counts x
-        ``slack``, with ``W2`` sized so at most ~``r2_target`` rows need
-        the exact tail.
-    """
+    trials: int,
+    seed: int,
+):
+    """Numpy mini-batch simulation mirroring the real sampler's frontier
+    accounting (distinct per-row draws; hops relabel/dedup except the
+    dedup-free final hop).  Returns (caps_seen, hop_deg_samples) per hop in
+    sampling order."""
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     deg_all = np.diff(indptr).astype(np.int64)
@@ -141,6 +124,46 @@ def tune_sampler(
             new_front = np.unique(np.concatenate([seeds, from_nodes]))
             caps_seen[i].append(len(new_front))
             seeds = new_front
+    return caps_seen, hop_deg_samples
+
+
+def tune_sampler(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    train_idx: np.ndarray,
+    batch_size: int,
+    fan_out: Sequence[int],
+    *,
+    trials: int = 4,
+    slack: float = 1.3,
+    cap_slack: float = 1.05,
+    r1_target: int = 8192,
+    r2_target: int = 1024,
+    seed: int = 0,
+) -> SamplerConfig:
+    """Pick (window, big_row_budget, frontier_caps) for ``sample_blocks``.
+
+    Simulates ``trials`` batches with a numpy sampler that mirrors the real
+    one's frontier accounting (distinct per-row draws; hops relabel/dedup
+    except the final hop, which is dedup-free).  Static knobs come from
+    observed maxima:
+
+      * ``frontier_caps[i]``: max relabeled frontier across trials x
+        ``cap_slack``, rounded up to 512 (the final hop keeps the padded
+        worst case — it is never relabeled);
+      * ``W1``: smallest power of two covering most frontier rows' degree
+        span, chosen so at most ~``r1_target`` rows/hop overflow level 1;
+      * ``R1``/``W2``/``R2``: observed level-overflow row counts x
+        ``slack``, with ``W2`` sized so at most ~``r2_target`` rows need
+        the exact tail.
+
+    Coverage-only heuristic; :func:`tune_sampler_cost` adds the measured
+    cost model and picks the config with the lowest PREDICTED step time.
+    """
+    caps_seen, hop_deg_samples = _simulate_hops(
+        indptr, indices, train_idx, batch_size, fan_out, trials, seed
+    )
+    fan_rev = list(reversed(list(fan_out)))
 
     def worst_overflow(w: int) -> int:
         """Max rows per hop whose span exceeds the level-1 window w."""
@@ -182,3 +205,197 @@ def tune_sampler_for(hg, train_idx, batch_size, fan_out, **kw) -> SamplerConfig:
         np.asarray(hg.indptr), np.asarray(hg.indices),
         np.asarray(train_idx), batch_size, fan_out, **kw,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerCostModel:
+    """Measured per-primitive throughputs for predicting sampler step time.
+
+    Defaults are honest v5e measurements (NOTES.md §6, probe_bias1/2):
+    random row gathers run ~105M rows/s flat in width/dtype; elementwise
+    gathers ~75M el/s; masked compare+select+reduce ~6e11 elem/s (the
+    [26624,15,256] one-hot select = 0.17 ms); chunked ``lax.top_k`` ~27M
+    256-wide chunk-rows/s ([5120,2048] k=15 = 1.5 ms); int32 sort ~640M
+    el/s.  Re-calibrate with :meth:`calibrate` on new hardware.  This is
+    the analog of the reference's measured bandwidth constants feeding its
+    cache policy (``node_classification.py:79-85``) — applied to the
+    sampler knobs instead of cache sizing.
+    """
+
+    row_gather_per_s: float = 105e6
+    elem_gather_per_s: float = 75e6
+    vpu_elem_per_s: float = 6e11
+    topk_chunk_rows_per_s: float = 27e6  # rows of width 256
+    sort_elem_per_s: float = 640e6
+    overhead_ms_per_level: float = 0.06  # fixed per-op scheduling cost
+
+    def calibrate(self) -> "SamplerCostModel":
+        """Re-measure the constants on the current device (device-side
+        fori timing via ``utils.timing.measure_op``; needs a live chip)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dist_gnn_tpu.utils.timing import measure_op
+
+        rng = np.random.default_rng(0)
+        tbl = jnp.asarray(rng.standard_normal((1 << 18, 64)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 1 << 18, 1 << 17).astype(np.int32))
+
+        def rowg(c, tbl, idx):
+            out = tbl[(idx + c[0].astype(jnp.int32)) % (1 << 18)]
+            return (c[0] * 0.5 + jnp.sum(out) * 1e-20 + 1,)
+
+        t_row = measure_op(rowg, (jnp.zeros(()),), iters=8, args=(tbl, idx))
+        flat = jnp.asarray(rng.standard_normal(1 << 22).astype(np.float32))
+
+        def elemg(c, flat, idx):
+            out = flat[(idx + c[0].astype(jnp.int32)) % (1 << 22)]
+            return (c[0] * 0.5 + jnp.sum(out) * 1e-20 + 1,)
+
+        t_el = measure_op(elemg, (jnp.zeros(()),), iters=8, args=(flat, idx))
+        x = jnp.asarray(rng.standard_normal((8192, 2048)).astype(np.float32))
+
+        def topk(c, x):
+            from dist_gnn_tpu.ops.sampling import _topk_hier
+
+            v, p = _topk_hier(x + c[0] * 1e-9, 15)
+            return (c[0] * 0.5 + jnp.sum(v) * 1e-20 + jnp.sum(p) * 1e-20 + 1,)
+
+        t_tk = measure_op(topk, (jnp.zeros(()),), iters=4, args=(x,))
+        return dataclasses.replace(
+            self,
+            row_gather_per_s=(1 << 17) / max(t_row, 1e-9),
+            elem_gather_per_s=(1 << 17) / max(t_el, 1e-9),
+            topk_chunk_rows_per_s=8192 * 8 / max(t_tk, 1e-9),
+        )
+
+
+def predict_config_ms(
+    hop_deg_samples,
+    fan_rev: Sequence[int],
+    caps: Sequence[int],
+    batch_size: int,
+    w1: int,
+    w2: int,
+    r1: int,
+    r2: int,
+    *,
+    biased: bool = False,
+    cost: SamplerCostModel = SamplerCostModel(),
+) -> float:
+    """Predicted per-step sampler+gather milliseconds for one config.
+
+    Per hop (B padded rows, k picks): extents + L1 window fetch are row
+    gathers; the L1 one-hot select is O(B*k*2W1) VPU elems; level-2 rows
+    (deg > ~W1, capped at R1) pay a row fetch + O(k*2W2) select each; the
+    tail (deg > ~W2, capped at R2) pays elementwise draws.  Biased adds
+    the Gumbel-key build O(B*2W) and the chunked top-k (dominant:
+    probe_bias2 measured 1.5 ms of L2's 2.1 at [5120,2048] k=15).
+    Non-final hops pay the sort-based relabel; the final frontier pays the
+    feature row gather (the step's biggest single cost).
+    """
+    ms = 0.0
+    B = batch_size
+    n_hops = len(fan_rev)
+    for i, k in enumerate(fan_rev):
+        degs = np.concatenate(hop_deg_samples[i]) if hop_deg_samples[i] else np.zeros(1)
+        frac2 = float(np.mean(degs > w1))
+        frac3 = float(np.mean(degs > w2))
+        n2 = min(int(frac2 * B) + 1, r1)
+        n3 = min(int(frac3 * B) + 1, r2)
+        s = 1e3  # to ms
+        ms += s * B / cost.row_gather_per_s  # extents (indptr pairs)
+        ms += s * B / cost.row_gather_per_s  # L1 window fetch
+        ms += s * B * k * 2 * w1 / cost.vpu_elem_per_s  # L1 one-hot select
+        ms += s * n2 / cost.row_gather_per_s  # L2 fetch
+        ms += s * n2 * k * 2 * w2 / cost.vpu_elem_per_s  # L2 select
+        if biased:
+            # Gumbel build (bits+log+mask ~ 4 VPU passes) + chunked top-k
+            ms += s * 4 * B * 2 * w1 / cost.vpu_elem_per_s
+            ms += s * B * max(2 * w1 // 256, 1) / cost.topk_chunk_rows_per_s
+            ms += s * 4 * n2 * 2 * w2 / cost.vpu_elem_per_s
+            ms += s * n2 * max(2 * w2 // 256, 1) / cost.topk_chunk_rows_per_s
+            # alias tail: 4k packed-pair row gathers + one-hot route
+            ms += s * n3 * 4 * k / cost.row_gather_per_s
+            ms += s * n3 * k * 4 * k / cost.vpu_elem_per_s
+        else:
+            ms += s * n3 * k / cost.elem_gather_per_s  # exact tail
+        ms += 6 * cost.overhead_ms_per_level
+        # relabel (all but the dedup-free final hop): two sorts + cummax
+        # over the padded frontier
+        slots = B * (k + 1)
+        if i < n_hops - 1:
+            ms += s * 3 * slots / cost.sort_elem_per_s
+            B = min(int(caps[i]), slots) if caps[i] else slots
+        else:
+            B = slots
+    # final feature gather over the padded last frontier
+    ms += 1e3 * B / cost.row_gather_per_s
+    return ms
+
+
+def tune_sampler_cost(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    train_idx: np.ndarray,
+    batch_size: int,
+    fan_out: Sequence[int],
+    *,
+    biased: bool = False,
+    trials: int = 4,
+    slack: float = 1.3,
+    cap_slack: float = 1.05,
+    seed: int = 0,
+    cost: SamplerCostModel = SamplerCostModel(),
+) -> Tuple[SamplerConfig, float]:
+    """Cost-model-driven knob tuning: simulate once, then pick the
+    (W1, W2, R1, R2) grid point with the lowest PREDICTED step time among
+    lossless configs (budgets always sized to observed overflow x slack,
+    so every candidate is coverage-safe; the model only ranks speed).
+
+    Returns (config, predicted_ms).  Closes the round-2 gap where the
+    coverage tuner picked (128,2048)/(7424,768) at a measured 9.56 ms vs
+    the hand config's 8.38: the cost model knows wide windows make the
+    select/top-k axis expensive and small tails are cheap, so it lands on
+    the hand-shaped config without on-device search.
+    """
+    caps_seen, hop_deg_samples = _simulate_hops(
+        indptr, indices, train_idx, batch_size, fan_out, trials, seed
+    )
+    fan_rev = list(reversed(list(fan_out)))
+
+    def worst_overflow(w: int) -> int:
+        return max(int(np.sum(d > w)) for hd in hop_deg_samples for d in hd)
+
+    # coverage caps (same math as tune_sampler)
+    caps = []
+    pad = batch_size
+    for i, k in enumerate(fan_rev):
+        pad = pad * (k + 1)
+        if i == len(fan_rev) - 1:
+            caps.append(10**9)
+        else:
+            worst = max(caps_seen[i])
+            caps.append(min(_round_up(worst * cap_slack, 512), pad))
+            pad = caps[-1]
+
+    best = None
+    for w1 in (64, 128, 256, 512):
+        for w2 in (512, 1024, 2048, 4096):
+            if w2 <= w1:
+                continue
+            r1 = _round_up(max(256, worst_overflow(w1) * slack), 256)
+            r2 = _round_up(max(128, worst_overflow(w2) * slack), 128)
+            ms = predict_config_ms(
+                hop_deg_samples, fan_rev, caps, batch_size,
+                w1, w2, r1, r2, biased=biased, cost=cost,
+            )
+            if best is None or ms < best[1]:
+                best = (
+                    SamplerConfig(
+                        window=(w1, w2), big_row_budget=(r1, r2),
+                        frontier_caps=tuple(caps),
+                    ),
+                    ms,
+                )
+    return best

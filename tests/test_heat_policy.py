@@ -433,3 +433,69 @@ class TestAutotune:
         )
         assert int(stats["sampler_overflow"]) == 0
         assert int(stats["frontier_overflow"]) == 0
+
+    def test_cost_model_tuner_lossless_and_ranks_windows(self):
+        """tune_sampler_cost picks a config that (a) is lossless on real
+        batches, and (b) predicts <= the coverage tuner's config — pinning
+        the round-2 regression where coverage tuning picked a wide-W2
+        config measured 14% slower than the hand knobs."""
+        import numpy as np
+
+        from dist_gnn_tpu.cache.autotune import (
+            predict_config_ms,
+            tune_sampler,
+            tune_sampler_cost,
+        )
+        from dist_gnn_tpu.cache.autotune import _simulate_hops
+        from dist_gnn_tpu.dataloading import SeedGenerator
+        from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+        from dist_gnn_tpu.sampler import sample_blocks
+
+        arrays, meta = make_synthetic_dataset(
+            num_nodes=30_000, avg_degree=25, feature_dim=4, num_classes=3,
+            train_frac=0.3, seed=13,
+        )
+        hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+        fan_out = (8, 6, 4)
+        cfg, pred_ms = tune_sampler_cost(
+            np.asarray(hg.indptr), np.asarray(hg.indices),
+            np.asarray(arrays["train_idx"]), 256, fan_out,
+        )
+        assert pred_ms > 0
+        # (b) predicted cost beats (or ties) the coverage tuner's pick
+        cov = tune_sampler(
+            np.asarray(hg.indptr), np.asarray(hg.indices),
+            np.asarray(arrays["train_idx"]), 256, fan_out,
+        )
+        _, hop_degs = _simulate_hops(
+            np.asarray(hg.indptr), np.asarray(hg.indices),
+            np.asarray(arrays["train_idx"]), 256, fan_out, 4, 0,
+        )
+        fan_rev = list(reversed(fan_out))
+        cov_ms = predict_config_ms(
+            hop_degs, fan_rev, cov.frontier_caps, 256,
+            cov.window[0], cov.window[1],
+            cov.big_row_budget[0], cov.big_row_budget[1],
+        )
+        assert pred_ms <= cov_ms + 1e-9
+        # the model must know wide select axes cost: doubling W2 with the
+        # same coverage must not be predicted cheaper
+        w1, w2 = cfg.window
+        r1, r2 = cfg.big_row_budget
+        wide_ms = predict_config_ms(
+            hop_degs, fan_rev, cfg.frontier_caps, 256, w1, w2 * 2, r1, r2
+        )
+        assert wide_ms > pred_ms
+        # (a) lossless on real batches
+        graph = hg.to_device()
+        gen = SeedGenerator(arrays["train_idx"], 256, shuffle=True,
+                            drop_last=True)
+        it = gen.epoch(jax.random.key(6))
+        for t in range(2):
+            seeds, mask = next(it)
+            _, stats = sample_blocks(
+                graph, seeds, mask, fan_out, False, jax.random.key(80 + t),
+                dedup_last=False, **cfg.sampler_kwargs(),
+            )
+            assert int(stats["sampler_overflow"]) == 0
+            assert int(stats["frontier_overflow"]) == 0
