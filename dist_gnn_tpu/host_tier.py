@@ -399,7 +399,9 @@ def sample_staged_hop(
             staged.window_probs, 0.0,
         )
         gl = jnp.where(w > 0, jnp.log(u) / w, -jnp.float32(jnp.inf))
-        top_vals, sel = jax.lax.top_k(gl, k)
+        from dist_gnn_tpu.ops.sampling import _topk_hier
+
+        top_vals, sel = _topk_hier(gl, k)  # exact; PartialReduce lowering
         smask = (~staged.is_pre[:, None]) & (top_vals > -jnp.float32(jnp.inf))
     else:
         # uniform staged rows: k-of-deg Feistel draw over the dense window

@@ -46,6 +46,10 @@ class SampledNeighbors(NamedTuple):
     overflow: jnp.ndarray | int = 0
 
 
+def _round_up8(x: int) -> int:
+    return -(-int(x) // 8) * 8
+
+
 def _row_extents(graph: Graph, seeds: jnp.ndarray):
     valid = seeds != INVALID_ID
     safe = jnp.where(valid, seeds, 0)
@@ -189,6 +193,12 @@ def _window_fetch_multi(
     else:
         W1, W2 = window, None
         R1, R2 = big_row_budget, None
+    if R1 is not None:
+        # clamp to the hop's row count (see sample_biased_windowed): a
+        # small hop can't overflow more rows than it has
+        R1 = min(R1, _round_up8(B))
+        if R2 is not None:
+            R2 = min(R2, R1)
 
     vals, covered = _window_select_multi(
         arrays, num_edges, start, sel, mask, W1, pairs=pairs
@@ -346,27 +356,42 @@ def _chunk_gather(arr, pos, in_range):
 
 
 def _topk_hier(x: jnp.ndarray, k: int, chunk: int = 256):
-    """Exact top-k over wide rows via two narrow top-k passes.
+    """Exact top-k: chunked cascade with ApproxTopK narrow passes.
 
-    ``lax.top_k`` cost grows steeply with row width on TPU (measured
-    4.7 ms at [5120, 2048] k=15 vs sub-ms at width 256 — probe_step22):
-    split each row into width-``chunk`` pieces, top-k each piece (top-k of
+    ``lax.top_k`` lowers to a variadic sort whose cost grows steeply with
+    row width (4.8 ms at [5120, 2048] k=15; 0.96 at [26624, 256]).  Wide
+    rows split into width-``chunk`` pieces, top-k each piece (top-k of
     the union of per-piece top-ks == global top-k), then top-k the
-    candidates.  Positions are recovered with a one-hot select over the
-    (small) candidate axis, not take_along_axis (per-element gathers).
+    candidates; positions are recovered with a one-hot select over the
+    small candidate axis.  Each NARROW pass uses ``lax.approx_max_k``
+    with ``recall_target=1.0``, which is EXACT (validated against top_k
+    values AND positions on device — probe_bias3) and lowers to the TPU
+    PartialReduce op: 0.44 vs 0.96 ms at [26624, 256], 0.69 vs 1.50 at
+    [40960, 256].  NOTE a recall_target of 1.0 disables the width-
+    reducing binning itself (``aggregate_to_topk=False`` returns L == W
+    candidates — no exact wide partial reduce exists), so the chunk
+    cascade stays; only the narrow engine changed.  Composite effect
+    (probe_bias5, full biased sampler): 4.90 -> 4.40 ms at hop 3, while
+    the pure-PartialReduce wide path REGRESSED to 8.1 — measured, not
+    assumed.  Output order matches top_k (descending); tie positions may
+    differ — consumers treat the k picks as a set.
     """
     B, W = x.shape
-    if W <= 2 * chunk or W % chunk:
+    if W <= 2 * chunk:
+        return jax.lax.approx_max_k(x, k, recall_target=1.0)
+    if W % chunk:
         return jax.lax.top_k(x, k)
     n = W // chunk
     kc = min(k, chunk)
-    v1, p1 = jax.lax.top_k(x.reshape(B * n, chunk), kc)
+    v1, p1 = jax.lax.approx_max_k(
+        x.reshape(B * n, chunk), kc, recall_target=1.0
+    )
     v1 = v1.reshape(B, n * kc)
     base = (
         jax.lax.broadcasted_iota(jnp.int32, (B, n, kc), 1) * chunk
     ).reshape(B, n * kc)
     p1g = p1.reshape(B, n * kc) + base  # global positions of candidates
-    v2, p2 = jax.lax.top_k(v1, k)  # positions into the candidate axis
+    v2, p2 = jax.lax.approx_max_k(v1, k, recall_target=1.0)
     cand = jax.lax.broadcasted_iota(jnp.int32, (B, 1, n * kc), 2)
     hit = cand == p2[:, :, None]
     pos = jnp.sum(jnp.where(hit, p1g[:, None, :], 0), axis=2)
@@ -573,6 +598,12 @@ def sample_biased_windowed(
     )
     if W2 is None:
         W2, R2 = W1 * 8, max(R1 // 4, 1)
+    # a hop can never compact more rows than it has: clamp the static
+    # budgets to the hop's row count (lossless — overflow only shrinks).
+    # Small hops otherwise pay the full-size L2/tail levels: B=512 with
+    # R1=5120 ran a [5120, 2048] Gumbel+top-k for at most 512 live rows.
+    R1 = min(R1, _round_up8(B))
+    R2 = min(R2, R1)
     start, deg, valid = _row_extents(graph, seeds)
     row_key = prng.random_keys(key, (B,))
 
