@@ -214,18 +214,19 @@ class SamplerCostModel:
     Defaults are honest v5e measurements (NOTES.md §6, probe_bias1/2):
     random row gathers run ~105M rows/s flat in width/dtype; elementwise
     gathers ~75M el/s; masked compare+select+reduce ~6e11 elem/s (the
-    [26624,15,256] one-hot select = 0.17 ms); chunked ``lax.top_k`` ~27M
-    256-wide chunk-rows/s ([5120,2048] k=15 = 1.5 ms); int32 sort ~640M
-    el/s.  Re-calibrate with :meth:`calibrate` on new hardware.  This is
-    the analog of the reference's measured bandwidth constants feeding its
-    cache policy (``node_classification.py:79-85``) — applied to the
-    sampler knobs instead of cache sizing.
+    [26624,15,256] one-hot select = 0.17 ms); the exact PartialReduce
+    top-k engine (_topk_hier) ~58M 256-wide chunk-rows/s (probe_bias3:
+    [40960,256] k=15 = 0.69 ms); int32 sort ~640M el/s.  Re-calibrate
+    with :meth:`calibrate` on new hardware.  This is the analog of the
+    reference's measured bandwidth constants feeding its cache policy
+    (``node_classification.py:79-85``) — applied to the sampler knobs
+    instead of cache sizing.
     """
 
     row_gather_per_s: float = 105e6
     elem_gather_per_s: float = 75e6
     vpu_elem_per_s: float = 6e11
-    topk_chunk_rows_per_s: float = 27e6  # rows of width 256
+    topk_chunk_rows_per_s: float = 58e6  # rows of width 256
     sort_elem_per_s: float = 640e6
     overhead_ms_per_level: float = 0.06  # fixed per-op scheduling cost
 
