@@ -715,3 +715,46 @@ def test_window_pair2_layout_identical():
     # exactness vs the plain elementwise path too
     c = sample_uniform(g_two, seeds, 8, False, jax.random.key(5))
     np.testing.assert_array_equal(np.asarray(b.ids), np.asarray(c.ids))
+
+
+def test_bias_pair_combined_layout_identical():
+    """The combined ids|probs pair layout (one [B, 4W] row gather per
+    Gumbel level) must be bit-identical to the separate-fetch path, at
+    both cascade levels, and the ids-only slice view must serve the
+    uniform sampler unchanged on the same graph."""
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.ops.sampling import (
+        sample_biased_windowed,
+        sample_uniform,
+    )
+
+    arrays, _ = make_synthetic_dataset(
+        num_nodes=3000, avg_degree=25, feature_dim=4, num_classes=3,
+        train_frac=0.3, with_probs=True, seed=21,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"],
+                   probs=arrays["probs"])
+    g_plain = hg.to_device(with_alias=True)
+    g_pair = hg.to_device(with_alias=True, window_pair=(16, 64))
+    assert g_pair.win_pair_width == 2
+    assert g_pair.win_pair.shape[1] == 4 * 16  # ids | probs interleaved
+    assert g_pair.alias_pack is not None
+    seeds = jnp.asarray(np.arange(768, dtype=np.int32) * 5 % 3000)
+    for window, budget in (((16, 64), (512, 128)), ((64, 256), (256, 64))):
+        a = sample_biased_windowed(
+            g_plain, seeds, 6, jax.random.key(3),
+            window=window, big_row_budget=budget,
+        )
+        b = sample_biased_windowed(
+            g_pair, seeds, 6, jax.random.key(3),
+            window=window, big_row_budget=budget,
+        )
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        assert int(a.overflow) == int(b.overflow)
+    u_pair = sample_uniform(g_pair, seeds, 6, False, jax.random.key(4),
+                            window=(16, 64), big_row_budget=(512, 128))
+    u_plain = sample_uniform(g_plain, seeds, 6, False, jax.random.key(4),
+                             window=(16, 64), big_row_budget=(512, 128))
+    np.testing.assert_array_equal(np.asarray(u_pair.ids),
+                                  np.asarray(u_plain.ids))
