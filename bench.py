@@ -237,6 +237,24 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         extras["gat_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # serving metric: full-graph layer-wise inference (all N nodes,
+        # full neighborhoods — the reference's models.py:57-97 analog),
+        # steady state (second call; executables cached).  Wall time
+        # includes the host chunk loop's dispatches — what a serving
+        # deployment actually pays.
+        from dist_gnn_tpu.models.inference import full_graph_inference
+
+        for rep in range(2):
+            t0 = time.time()
+            logits = full_graph_inference(model, state.params, hg, features)
+            device_sync(logits)
+            dt_inf = time.time() - t0
+        extras["inference_edges_per_s"] = round(
+            len(fan_out) * int(meta["num_edges"]) / dt_inf, 1
+        )
+    except Exception as e:  # noqa: BLE001
+        extras["inference_error"] = f"{type(e).__name__}: {e}"[:200]
 
     result = {
         "metric": "graphsage_train_edges_per_s_per_chip",
