@@ -24,6 +24,33 @@ import numpy as np
 from dist_gnn_tpu.graph import HostGraph
 
 
+def _span_rows(local_ptr, base, n: int, num_dst: int):
+    """Dst-row index for the edge offsets [base, base + n).
+
+    CSC rows are a monotone step function of the edge offset: scatter
+    each row's start offset into the chunk and take a running max
+    (``cummax``).  Replaces ``searchsorted``'s 13-pass binary search,
+    which was THE span-inference bottleneck (probe_inf3: 3.3 of 3.9 ms
+    per 32768-edge chunk; this form is one ~num_dst-element scatter + a
+    [n] scan).  Offsets before the first in-chunk boundary belong to the
+    row covering ``base`` — one scalar searchsorted.  Duplicate starts
+    (empty rows) keep the max row id, matching searchsorted-right - 1.
+    """
+    rel = (local_ptr - base).astype(jnp.int32)  # OOB/negative -> dropped
+    mark = (
+        jnp.full((n,), -1, jnp.int32)
+        .at[rel]
+        .max(
+            jnp.arange(local_ptr.shape[0], dtype=jnp.int32), mode="drop"
+        )
+    )
+    row0 = (jnp.searchsorted(local_ptr, base, side="right") - 1).astype(
+        jnp.int32
+    )
+    rows = jnp.maximum(jax.lax.cummax(mark, axis=0), row0)
+    return jnp.clip(rows, 0, num_dst - 1)
+
+
 @partial(jax.jit, static_argnames=("num_dst", "edge_chunk"))
 def _mean_aggregate_span(
     indptr, indices, h, dst_lo, num_dst: int, edge_lo, edge_hi, edge_chunk: int
@@ -40,12 +67,10 @@ def _mean_aggregate_span(
         valid = off < edge_hi
         off_c = jnp.clip(off, 0, nnz - 1)
         src = indices[off_c]
-        rows = (
-            jnp.searchsorted(local_ptr, off_c, side="right") - 1
-        ).astype(jnp.int32)
+        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
         msg = jnp.where(valid[:, None], h[jnp.where(valid, src, 0)], 0)
         return acc + jax.ops.segment_sum(
-            msg, jnp.clip(rows, 0, num_dst - 1), num_segments=num_dst
+            msg, rows, num_segments=num_dst, indices_are_sorted=True
         )
 
     n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
@@ -76,12 +101,10 @@ def _gcn_aggregate_span(
         valid = off < edge_hi
         off_c = jnp.clip(off, 0, nnz - 1)
         src = jnp.where(valid, indices[off_c], 0)
-        rows = (
-            jnp.searchsorted(local_ptr, off_c, side="right") - 1
-        ).astype(jnp.int32)
+        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
         msg = jnp.where(valid[:, None], h[src] * inv_sqrt[src][:, None], 0)
         return acc + jax.ops.segment_sum(
-            msg, jnp.clip(rows, 0, num_dst - 1), num_segments=num_dst
+            msg, rows, num_segments=num_dst, indices_are_sorted=True
         )
 
     n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
@@ -114,13 +137,7 @@ def _gat_aggregate_span(
         valid = off < edge_hi
         off_c = jnp.clip(off, 0, nnz - 1)
         src = jnp.where(valid, indices[off_c], 0)
-        rows = jnp.clip(
-            (jnp.searchsorted(local_ptr, off_c, side="right") - 1).astype(
-                jnp.int32
-            ),
-            0,
-            num_dst - 1,
-        )
+        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
         score = jax.nn.leaky_relu(
             (el_dst[rows] + er[src]).astype(jnp.float32), negative_slope
         )  # [E, H]
@@ -156,14 +173,12 @@ def _acc_sum_slab(acc, local_ptr, off0, src_feats, n_valid):
     from the absolute offsets via searchsorted into the chunk's indptr
     slice.  Device state is O(num_dst * F + E * F) only."""
     E = src_feats.shape[0]
-    off = off0 + jnp.arange(E, dtype=local_ptr.dtype)
     valid = jnp.arange(E) < n_valid
-    rows = jnp.clip(
-        (jnp.searchsorted(local_ptr, off, side="right") - 1).astype(jnp.int32),
-        0, acc.shape[0] - 1,
-    )
+    rows = _span_rows(local_ptr, off0, E, acc.shape[0])
     msg = jnp.where(valid[:, None], src_feats, 0)
-    return acc + jax.ops.segment_sum(msg, rows, num_segments=acc.shape[0])
+    return acc + jax.ops.segment_sum(
+        msg, rows, num_segments=acc.shape[0], indices_are_sorted=True
+    )
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -176,12 +191,8 @@ def _gat_acc_slab(
     E, H, d = z_src.shape
     num_dst = el_dst.shape[0]
     neg = jnp.float32(-1e30)
-    off = off0 + jnp.arange(E, dtype=local_ptr.dtype)
     valid = jnp.arange(E) < n_valid
-    rows = jnp.clip(
-        (jnp.searchsorted(local_ptr, off, side="right") - 1).astype(jnp.int32),
-        0, num_dst - 1,
-    )
+    rows = _span_rows(local_ptr, off0, E, num_dst)
     score = jax.nn.leaky_relu(
         (el_dst[rows] + er_src).astype(jnp.float32), negative_slope
     )
