@@ -35,12 +35,20 @@ class GAT:
         negative_slope: float = 0.2,
         param_dtype=jnp.float32,
         compute_dtype=None,
+        use_fused: bool = True,
+        input_grad: bool = False,
     ):
         self.num_heads = num_heads
         self.negative_slope = negative_slope
         self.dropout = dropout
         self.param_dtype = param_dtype
         self.compute_dtype = compute_dtype
+        # fused Pallas SDDMM-softmax-aggregate-project kernel
+        # (ops/gat_pallas.py) on layers whose shapes divide its block rows
+        self.use_fused = use_fused
+        # True if callers differentiate wrt the layer-0 input features
+        # (training never does; the kernel then skips d_x entirely)
+        self.input_grad = input_grad
         self.dims: List[tuple] = []
         for l in range(num_layers):
             d_in = in_feats if l == 0 else n_hidden * num_heads
@@ -128,6 +136,8 @@ class GAT:
         ``_project`` (z-based) is kept for the layer-wise inference paths
         that genuinely reuse z across destination chunks.
         """
+        from dist_gnn_tpu.ops.gat_pallas import _block_rows, gat_attention
+
         H = self.num_heads
         cd = self.compute_dtype
         h = x if cd is None else x.astype(cd)
@@ -135,6 +145,44 @@ class GAT:
             d_in, d_out, last = self.dims[l]
             p = params[f"layer{l}"]
             w = p["w"] if cd is None else p["w"].astype(cd)
+            S_, k_ = block.neigh_mask.shape
+            use_fused = (
+                self.use_fused
+                and not last
+                and d_out % 128 == 0
+                and d_in <= 1024
+                and k_ <= 32
+                and S_ % _block_rows(d_in) == 0
+            )
+            if use_fused:
+                w32 = p["w"].astype(jnp.float32).reshape(d_in, H, d_out)
+                wal = jnp.einsum("ehd,hd->eh", w32, p["a_l"].astype(jnp.float32))
+                war = jnp.einsum("ehd,hd->eh", w32, p["a_r"].astype(jnp.float32))
+                x_dst = h[: block.num_dst]
+                if l == 0 and contiguous_first:
+                    # k-major dedup-free hop: free reshape to [k, S, E]
+                    x_n3 = h[block.num_dst :].reshape(k_, S_, d_in)
+                else:
+                    safe = jnp.where(block.neigh_mask, block.neigh_slots, 0)
+                    x_n3 = h[safe.T]  # [k, S, E] k-major gather
+                out = gat_attention(
+                    x_dst,
+                    x_n3,
+                    block.neigh_mask.astype(jnp.float32),
+                    wal.astype(h.dtype),
+                    war.astype(h.dtype),
+                    w,
+                    self.negative_slope,
+                    l > 0 or self.input_grad,
+                )
+                h = jax.nn.elu(out + p["b"])
+                if train and self.dropout > 0:
+                    assert rng is not None
+                    rng, sub = jax.random.split(rng)
+                    keep = dropout_keep(sub, h.shape, 1 - self.dropout)
+                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+                h = h.astype(x.dtype)
+                continue
             # folded SDDMM: el/er = h @ (W @ A), A the [H*d, 2H]
             # block-diagonal attention matrix — no z
             eye = jnp.eye(H, dtype=jnp.float32)
@@ -151,10 +199,12 @@ class GAT:
                 h, WA.astype(h.dtype), preferred_element_type=jnp.float32
             )  # [*, 2H]
             el = eler[: block.num_dst, :H]  # [S, H]
-            S_, k_ = block.neigh_mask.shape
             if l == 0 and contiguous_first:
-                er_n = eler[block.num_dst :, H:].reshape(S_, k_, H)
-                x_n = h[block.num_dst :].reshape(S_, k_, d_in)
+                # k-major dedup-free hop: reshape [k, S, *] then transpose
+                # (fallback path only — the fused kernel consumes k-major
+                # natively)
+                er_n = eler[block.num_dst :, H:].reshape(k_, S_, H).transpose(1, 0, 2)
+                x_n = h[block.num_dst :].reshape(k_, S_, d_in).transpose(1, 0, 2)
             else:
                 sel = eler[block.neigh_slots]  # [S, k, 2H]
                 er_n = sel[..., H:]

@@ -69,14 +69,16 @@ class GCN:
         # and by the true block degree when the source is also a dst row.
         src_deg = jnp.ones((block.num_src,), h.dtype)
         src_deg = src_deg.at[:S].set(deg_dst)
-        if contiguous:
-            nb = h[S:].reshape(S_, k_, h.shape[1])
-        else:
-            nb = h[block.neigh_slots]  # [S, k, F]
         d_j = src_deg[jnp.where(block.neigh_mask, block.neigh_slots, 0)]
         m = block.neigh_mask.astype(h.dtype)
         coef = m / jnp.sqrt(deg_dst[:, None] * d_j)
-        agg = jnp.sum(nb * coef[..., None], axis=1)
+        if contiguous:
+            # k-major dedup-free hop: [k, S, F] with per-k contiguous rows
+            nb = h[S:].reshape(k_, S_, h.shape[1])
+            agg = jnp.sum(nb * coef.T[..., None], axis=0)
+        else:
+            nb = h[block.neigh_slots]  # [S, k, F]
+            agg = jnp.sum(nb * coef[..., None], axis=1)
         return agg + h[:S] / deg_dst[:, None]
 
     def apply(

@@ -326,6 +326,134 @@ def full_graph_inference_host(
     return h_host
 
 
+@partial(jax.jit, static_argnames=("num_nodes", "nnz"))
+def _edge_rows(indptr, num_nodes: int, nnz: int):
+    """Static edge→dst-row map [nnz_pad]: scatter each row's start offset,
+    forward-fill with ``cummax`` (rows are a monotone step function of the
+    edge offset — same trick as :func:`_span_rows`, but computed ONCE per
+    graph instead of per chunk).  Padding slots (>= nnz) get row
+    ``num_nodes`` — an overflow segment the aggregators drop."""
+    starts = indptr[:-1].astype(jnp.int32)
+    ids = jnp.arange(num_nodes, dtype=jnp.int32)
+    mark = jnp.full((nnz,), -1, jnp.int32).at[starts].max(ids, mode="drop")
+    return jax.lax.cummax(mark, axis=0)
+
+
+def _pad_edges(arr, edge_chunk: int, fill):
+    nnz = arr.shape[0]
+    pad = (-nnz) % edge_chunk
+    if pad:
+        arr = jnp.concatenate([arr, jnp.full((pad,), fill, arr.dtype)])
+    return arr
+
+
+@partial(jax.jit, static_argnames=("edge_chunk", "n_out"))
+def _sum_all_edges(indices_p, erows_p, h, scale_src, edge_chunk: int, n_out: int):
+    """Neighbor-sum over ALL edges in one program: fori over fixed-size
+    edge chunks, scatter-adding each chunk's messages into a full
+    [N+1, F] accumulator (row N = padding overflow, dropped by callers).
+
+    Replaces the per-node-chunk host loop (62 chunks × 3 layers × ~1.5-7 ms
+    tunnel dispatch each) with ONE dispatch per layer; the edge walk is
+    contiguous loads (indices + the precomputed edge-row map) plus the
+    unavoidable random source-row gather and a monotone-row scatter-add.
+    ``scale_src``: optional [N] per-source scale (GCN's 1/sqrt(deg+1));
+    pass None for plain sums."""
+    F = h.shape[1]
+    n_chunks = indices_p.shape[0] // edge_chunk
+
+    def body(c, acc):
+        sl = (c * edge_chunk,)
+        src = jax.lax.dynamic_slice(indices_p, sl, (edge_chunk,))
+        rows = jax.lax.dynamic_slice(erows_p, sl, (edge_chunk,))
+        rows = jnp.where(rows < 0, n_out, rows)  # leading pad / empty prefix
+        msg = h[src]
+        if scale_src is not None:
+            msg = msg * scale_src[src][:, None].astype(msg.dtype)
+        return acc.at[rows].add(msg.astype(jnp.float32), mode="drop")
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((n_out + 1, F), jnp.float32)
+    )
+    return acc[:n_out]
+
+
+@partial(jax.jit, static_argnames=("edge_chunk", "n_out", "negative_slope"))
+def _gat_ms_all_edges(
+    indices_p, erows_p, el, er, edge_chunk: int, n_out: int,
+    negative_slope: float,
+):
+    """GAT pass 1: final per-row softmax max ``m`` and denominator ``s``
+    over all edges.  The online rescale touches only the [N, H] s-state
+    (small), so the flash-style renormalisation is cheap at full-graph
+    scale; z is never read here."""
+    H = el.shape[1]
+    n_chunks = indices_p.shape[0] // edge_chunk
+    neg = jnp.float32(-1e30)
+
+    def body(c, carry):
+        m, s = carry
+        sl = (c * edge_chunk,)
+        src = jax.lax.dynamic_slice(indices_p, sl, (edge_chunk,))
+        rows = jax.lax.dynamic_slice(erows_p, sl, (edge_chunk,))
+        valid = rows >= 0
+        rows = jnp.where(valid, rows, n_out)
+        score = jax.nn.leaky_relu(
+            (el[jnp.clip(rows, 0, n_out - 1)] + er[src]).astype(jnp.float32),
+            negative_slope,
+        )
+        score = jnp.where(valid[:, None], score, neg)
+        m_c = (
+            jnp.full((n_out + 1, H), neg)
+            .at[rows]
+            .max(score, mode="drop")[:n_out]
+        )
+        m_new = jnp.maximum(m, m_c)
+        s = s * jnp.exp(m - m_new)
+        w = jnp.where(valid[:, None], jnp.exp(score - m_new[jnp.clip(rows, 0, n_out - 1)]), 0.0)
+        s = s + jnp.zeros((n_out + 1, H)).at[rows].add(w, mode="drop")[:n_out]
+        return m_new, s
+
+    m0 = jnp.full((n_out, H), neg, jnp.float32)
+    s0 = jnp.zeros((n_out, H), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, (m0, s0))
+
+
+@partial(jax.jit, static_argnames=("edge_chunk", "n_out", "negative_slope"))
+def _gat_acc_all_edges(
+    indices_p, erows_p, z, el, er, m, rs, edge_chunk: int, n_out: int,
+    negative_slope: float,
+):
+    """GAT pass 2: with the FINAL m and reciprocal denominator ``rs``,
+    accumulate ``sum alpha * z_src`` in one scatter-add pass (no rescaling
+    of the [N, H, d] accumulator ever happens)."""
+    N, H, d = z.shape
+    n_chunks = indices_p.shape[0] // edge_chunk
+
+    def body(c, acc):
+        sl = (c * edge_chunk,)
+        src = jax.lax.dynamic_slice(indices_p, sl, (edge_chunk,))
+        rows = jax.lax.dynamic_slice(erows_p, sl, (edge_chunk,))
+        valid = rows >= 0
+        rows_c = jnp.clip(rows, 0, n_out - 1)
+        rows = jnp.where(valid, rows, n_out)
+        score = jax.nn.leaky_relu(
+            (el[rows_c] + er[src]).astype(jnp.float32), negative_slope
+        )
+        alpha = jnp.where(
+            valid[:, None], jnp.exp(score - m[rows_c]) * rs[rows_c], 0.0
+        )
+        msg = alpha[:, :, None] * z[src].astype(jnp.float32)
+        return acc.at[rows].add(
+            msg.reshape(edge_chunk, H * d), mode="drop"
+        )
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((n_out + 1, H * d), jnp.float32)
+    )
+    return acc[:n_out].reshape(n_out, H, d)
+
+
 def full_graph_inference(
     model,
     params,
@@ -339,60 +467,64 @@ def full_graph_inference(
     Supports all three model families: SAGE (mean), GAT (online-softmax
     attention), GCN (symmetric-normalised with true full-graph degrees).
 
-    Host loop over layers × dst chunks; each chunk call is one jit with
-    static shapes (the edge-span length is a traced fori bound, so chunk
-    calls share one executable per node-chunk size).
+    Round-4 engine: ONE jitted edge-walk per layer (fori over fixed-size
+    edge chunks scatter-adding into a full [N+1, F] accumulator, with the
+    edge→row map precomputed once per graph) instead of the round-3 host
+    loop over 62 destination chunks × 3 layers whose per-chunk dispatches
+    dominated (~10.7M edges/s served vs ~105M rows/s gather ceiling).
+    ``node_chunk`` is kept for API compatibility (unused).
     """
     ptr_dtype = np.int64 if hg.num_edges >= 2**31 else np.int32
     indptr = jnp.asarray(np.asarray(hg.indptr, dtype=ptr_dtype))
     indices = jnp.asarray(hg.indices)
     N = hg.num_nodes
-    indptr_np = np.asarray(hg.indptr)
+    nnz = int(hg.num_edges)
     h = features
+
+    erows = _edge_rows(indptr, N, nnz)
+    indices_p = _pad_edges(indices, edge_chunk, 0)
+    erows_p = _pad_edges(erows, edge_chunk, -1)
 
     is_gat = hasattr(model, "_project")
     is_gcn = (not is_gat) and not hasattr(model, "_layer_forward")
+    deg_all = (indptr[1:] - indptr[:-1]).astype(jnp.float32)
     if is_gcn:
         # true full-graph degrees (the sampled-block trainer uses valid slot
         # counts; layer-wise inference uses the exact propagation rule)
-        deg_all = (indptr[1:] - indptr[:-1]).astype(h.dtype)
-        inv_sqrt = 1.0 / jnp.sqrt(deg_all + 1)
+        inv_sqrt = (1.0 / jnp.sqrt(deg_all + 1)).astype(h.dtype)
     for l in range(len(model.dims)):
         p = params[f"layer{l}"]
         if is_gat:
             d_out, last = model.dims[l][1], model.dims[l][2]
+            H = model.num_heads
             z, el, er = model._project(p, h, d_out)
-            # _project returns FLAT z [N, H*d]; the span aggregator wants
-            # the per-head view
-            z = z.reshape(z.shape[0], model.num_heads, d_out)
-        outs = []
-        for lo in range(0, N, node_chunk):
-            num = min(node_chunk, N - lo)
-            e_lo = int(indptr_np[lo])
-            e_hi = int(indptr_np[lo + num])
-            if is_gat:
-                agg = _gat_aggregate_span(
-                    indptr, indices, z, el, er, lo, num, e_lo, e_hi,
-                    edge_chunk, model.negative_slope,
-                )
-                out = model._combine(p, agg, d_out, last)
-            elif is_gcn:
-                agg = _gcn_aggregate_span(
-                    indptr, indices, h, inv_sqrt, lo, num, e_lo, e_hi,
-                    edge_chunk,
-                )
-                out = (
-                    jnp.dot(agg, p["w"].astype(agg.dtype),
-                            preferred_element_type=jnp.float32)
-                    + p["b"]
-                ).astype(agg.dtype)
-            else:
-                h_mean = _mean_aggregate_span(
-                    indptr, indices, h, lo, num, e_lo, e_hi, edge_chunk
-                )
-                out = model._layer_forward(p, h[lo : lo + num], h_mean)
-            outs.append(out)
-        h = jnp.concatenate(outs, axis=0)
+            z = z.reshape(z.shape[0], H, d_out)
+            m, s = _gat_ms_all_edges(
+                indices_p, erows_p, el, er, edge_chunk, N,
+                float(model.negative_slope),
+            )
+            rs = 1.0 / jnp.maximum(s, 1e-12)
+            agg = _gat_acc_all_edges(
+                indices_p, erows_p, z, el, er, m, rs, edge_chunk, N,
+                float(model.negative_slope),
+            ).astype(z.dtype)
+            h = model._combine(p, agg, d_out, last)
+        elif is_gcn:
+            ssum = _sum_all_edges(
+                indices_p, erows_p, h, inv_sqrt, edge_chunk, N
+            )
+            agg = ssum.astype(h.dtype) * inv_sqrt[:, None] + h / (
+                deg_all.astype(h.dtype) + 1
+            )[:, None]
+            h = (
+                jnp.dot(agg, p["w"].astype(agg.dtype),
+                        preferred_element_type=jnp.float32)
+                + p["b"]
+            ).astype(agg.dtype)
+        else:
+            ssum = _sum_all_edges(indices_p, erows_p, h, None, edge_chunk, N)
+            h_mean = (ssum / jnp.maximum(deg_all, 1)[:, None]).astype(h.dtype)
+            h = model._layer_forward(p, h, h_mean)
         if not is_gat and l != len(model.dims) - 1:
             h = jax.nn.relu(h)
     return h

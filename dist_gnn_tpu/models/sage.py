@@ -105,11 +105,15 @@ class SAGE:
             p = params[f"layer{l}"]
             h_dst = h[: block.num_dst]
             if l == 0 and contiguous_first:
+                # k-major dedup-free hop (sampler._no_dedup_block): the
+                # frontier tail reshapes to [k, B, F] with per-k slices
+                # contiguous — the sum runs over the leading axis with F
+                # on lanes and B on sublanes (full VPU tiles).
                 B, k = block.neigh_mask.shape
-                nb = h[block.num_dst :].reshape(B, k, h.shape[1])
-                m = block.neigh_mask[..., None].astype(h.dtype)
+                nb = h[block.num_dst :].reshape(k, B, h.shape[1])
+                m = block.neigh_mask.T[..., None].astype(h.dtype)
                 cnt = jnp.sum(block.neigh_mask, axis=1, dtype=h.dtype)[:, None]
-                h_mean = jnp.sum(nb * m, axis=1) / jnp.maximum(cnt, 1)
+                h_mean = jnp.sum(nb * m, axis=0) / jnp.maximum(cnt, 1)
             else:
                 h_mean = gather_mean(h, block.neigh_slots, block.neigh_mask)
             h = self._layer_forward(p, h_dst, h_mean).astype(h.dtype)

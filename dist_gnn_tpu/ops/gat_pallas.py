@@ -1,0 +1,368 @@
+"""Fused Pallas GAT layer: SDDMM + edge-softmax + aggregate + project.
+
+The round-3 roofline study (NOTES, ``scripts/probe_gat1.py``) showed the
+jnp GAT layer-0 at 4.7 ms value_and_grad vs a ~0.6 ms traffic+FLOP
+roofline, and located the gap in LAYOUT: every ``[S, K, H]``-shaped
+softmax/broadcast op puts H=4 on the 128-lane axis (~3% VPU utilization),
+and the unfused op chain re-crosses HBM between SDDMM, softmax, and the
+weighted sum.  This kernel is the designed fix:
+
+* **k-major neighbor layout** ``x_n[K, S, E]`` — per-k slices are
+  contiguous ``[S_b, E]`` VMEM tiles with E on lanes (full VPU width) and
+  S_b on sublanes.  The dedup-free first hop emits this layout natively
+  (``sampler._no_dedup_block``), so layer 0 pays zero transposes.
+* scores/softmax as K-unrolled ``[S_b, H]`` ops — tiny tensors, the only
+  H-on-lanes work left (~1.3 us/block).
+* aggregation = K*H column-broadcast FMAs ``acc_h += alpha[:, h:h+1] * x_k``
+  (alpha broadcast along lanes, the same shape flash-attention uses for
+  its softmax rescale), never materializing ``[S, K, H]`` or ``[S*K, H*D]``.
+* per-head projection ``agg_h @ W_h`` on the MXU inside the same kernel.
+* custom VJP: the backward kernel recomputes el/er/alpha from x (cheap
+  small matmuls) instead of saving any ``[S, K, *]`` residual, and
+  accumulates dW/dwal/dwar across the grid in revisited f32 VMEM blocks.
+
+Reference parity: this owns the math the reference delegates to DGL's
+SpMM/SDDMM (``/root/reference/example/graphsage/utils/models.py:25-55``);
+the attention formulation matches ``models/gat.py`` (folded
+aggregate-then-project, exact because attention commutes with the shared
+projection W).
+
+Numerics: softmax is computed in f32 with a per-row GLOBAL max (over all
+heads' valid slots) instead of a per-(row, head) max — mathematically
+identical (the max cancels), overflow-safe, and one lane-reduction
+instead of H.  alpha stays f32 through the weighted sum (the jnp path
+casts alpha to bf16; the kernel is slightly MORE precise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block_rows(e_dim: int) -> int:
+    """Destination rows per grid step, sized to keep the double-buffered
+    [K, S_b, E] neighbor slab + f32 accumulators well under VMEM."""
+    if e_dim <= 128:
+        return 256
+    if e_dim <= 512:
+        return 128
+    return 64
+
+
+def _score_chain(xd, xn_ref, mk, wal, war, slope, K: int, H: int):
+    """Shared fwd/bwd recompute: per-k scores -> masked softmax pieces.
+
+    Returns (pre_list, alpha_list) with pre_k the pre-LeakyReLU logits
+    (needed for the slope select in bwd) and alpha_k the [S_b, H] f32
+    attention weights (masked slots exactly 0).
+    """
+    f32 = jnp.float32
+    el = jnp.dot(xd, wal, preferred_element_type=f32)  # [S_b, H]
+    neg = f32(-1e30)
+    pre_list, s_list = [], []
+    for k in range(K):
+        er = jnp.dot(xn_ref[k], war, preferred_element_type=f32)
+        pre = el + er
+        s = jnp.where(pre >= 0, pre, pre * slope)
+        s = jnp.where(mk[:, k : k + 1] > 0, s, neg)
+        pre_list.append(pre)
+        s_list.append(s)
+    g = s_list[0]
+    for k in range(1, K):
+        g = jnp.maximum(g, s_list[k])
+    # all-masked rows: g = -1e30 -> exp(0) = 1, killed by the mask factor
+    e_list = []
+    den = jnp.zeros_like(g)
+    for k in range(K):
+        e = jnp.exp(s_list[k] - g) * mk[:, k : k + 1]
+        e_list.append(e)
+        den = den + e
+    rden = 1.0 / jnp.maximum(den, 1e-12)
+    alpha_list = [e * rden for e in e_list]
+    return el, pre_list, alpha_list
+
+
+def _fwd_kernel(
+    xd_ref, xn_ref, mk_ref, wal_ref, war_ref, w_ref, out_ref,
+    *, K: int, H: int, D: int, slope: float,
+):
+    f32 = jnp.float32
+    xd = xd_ref[:]
+    _, _, alpha = _score_chain(
+        xd, xn_ref, mk_ref[:], wal_ref[:], war_ref[:], f32(slope), K, H
+    )
+    sb, e_dim = xd.shape
+    accs = [jnp.zeros((sb, e_dim), f32) for _ in range(H)]
+    for k in range(K):
+        xk = xn_ref[k]
+        a_k = alpha[k]
+        for h in range(H):
+            accs[h] = accs[h] + a_k[:, h : h + 1] * xk
+    w = w_ref[:]
+    for h in range(H):
+        out_ref[:, h * D : (h + 1) * D] = jnp.dot(
+            accs[h].astype(w.dtype),
+            w[:, h * D : (h + 1) * D],
+            preferred_element_type=f32,
+        ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(
+    xd_ref, xn_ref, mk_ref, wal_ref, war_ref, w_ref, g_ref,
+    dwal_ref, dwar_ref, dw_ref, dxd_ref, dxn_ref,
+    *, K: int, H: int, D: int, slope: float, need_dx: bool,
+):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwal_ref[:] = jnp.zeros(dwal_ref.shape, dwal_ref.dtype)
+        dwar_ref[:] = jnp.zeros(dwar_ref.shape, dwar_ref.dtype)
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    xd = xd_ref[:]
+    wal = wal_ref[:]
+    war = war_ref[:]
+    w = w_ref[:]
+    _, pre_list, alpha = _score_chain(
+        xd, xn_ref, mk_ref[:], wal, war, f32(slope), K, H
+    )
+    sb, e_dim = xd.shape
+    gout = g_ref[:]
+    # d_agg_h = g_h @ W_h^T  (MXU, transposed operand)
+    dagg = []
+    g_cols = []
+    for h in range(H):
+        gh = gout[:, h * D : (h + 1) * D]
+        g_cols.append(gh)
+        dagg.append(
+            jax.lax.dot_general(
+                gh, w[:, h * D : (h + 1) * D],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        )
+    # pass 1 over k: agg recompute, d_alpha, softmax-jacobian diagonal sum
+    aggs = [jnp.zeros((sb, e_dim), f32) for _ in range(H)]
+    dal_list = []
+    T = jnp.zeros((sb, H), f32)
+    for k in range(K):
+        xk = xn_ref[k]
+        a_k = alpha[k]
+        cols = []
+        for h in range(H):
+            aggs[h] = aggs[h] + a_k[:, h : h + 1] * xk
+            cols.append(jnp.sum(xk * dagg[h], axis=1, keepdims=True))
+        dal_k = jnp.concatenate(cols, axis=1)  # [S_b, H]
+        dal_list.append(dal_k)
+        T = T + a_k * dal_k
+    # dW from the projections: agg_h^T @ g_h
+    for h in range(H):
+        dw_ref[:, h * D : (h + 1) * D] += jax.lax.dot_general(
+            aggs[h].astype(w.dtype), g_cols[h],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    # pass 2 over k: softmax/leaky backward, d_x_n, d_war
+    del_acc = jnp.zeros((sb, H), f32)
+    dwar_acc = jnp.zeros_like(dwar_ref)
+    for k in range(K):
+        a_k = alpha[k]
+        d_s = a_k * (dal_list[k] - T)
+        sl = jnp.where(pre_list[k] >= 0, f32(1.0), f32(slope))
+        d_pre = d_s * sl  # masked slots: a_k = 0 -> d_s = 0
+        del_acc = del_acc + d_pre
+        xk = xn_ref[k]
+        dwar_acc = dwar_acc + jax.lax.dot_general(
+            xk, d_pre.astype(xk.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        if need_dx:
+            dxn = jax.lax.dot_general(
+                d_pre.astype(war.dtype), war,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            for h in range(H):
+                dxn = dxn + a_k[:, h : h + 1] * dagg[h]
+            dxn_ref[k] = dxn.astype(dxn_ref.dtype)
+    dwar_ref[:] += dwar_acc
+    dwal_ref[:] += jax.lax.dot_general(
+        xd, del_acc.astype(xd.dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    if need_dx:
+        dxd_ref[:] = jax.lax.dot_general(
+            del_acc.astype(wal.dtype), wal,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dxd_ref.dtype)
+
+
+def _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope: float):
+    K, S, E = x_n.shape
+    H = wal.shape[1]
+    D = w.shape[1] // H
+    sb = _block_rows(E)
+    assert S % sb == 0, (S, sb)
+    grid = (S // sb,)
+    kern = functools.partial(_fwd_kernel, K=K, H=H, D=D, slope=slope)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((sb, E), lambda i: (i, 0)),
+            pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((sb, K), lambda i: (i, 0)),
+            pl.BlockSpec((E, H), lambda i: (0, 0)),
+            pl.BlockSpec((E, H), lambda i: (0, 0)),
+            pl.BlockSpec((E, H * D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((sb, H * D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, H * D), x_dst.dtype),
+        interpret=_interpret(),
+    )(x_dst, x_n, mask_f, wal, war, w)
+
+
+def _bwd_call(x_dst, x_n, mask_f, wal, war, w, g, slope: float, need_dx: bool):
+    K, S, E = x_n.shape
+    H = wal.shape[1]
+    D = w.shape[1] // H
+    # half the forward block: the backward body keeps ~2x the live values
+    # (dagg/aggs/dal lists + d_x slabs) and 256-row blocks overflow the
+    # 16M scoped VMEM at bench shapes (measured: 18.48M requested)
+    sb = max(_block_rows(E) // 2, 32)
+    grid = (S // sb,)
+    kern = functools.partial(
+        _bwd_kernel, K=K, H=H, D=D, slope=slope, need_dx=need_dx
+    )
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    out_shape = [acc((E, H)), acc((E, H)), acc((E, H * D))]
+    out_specs = [
+        pl.BlockSpec((E, H), lambda i: (0, 0)),
+        pl.BlockSpec((E, H), lambda i: (0, 0)),
+        pl.BlockSpec((E, H * D), lambda i: (0, 0)),
+    ]
+    if need_dx:
+        out_shape += [
+            jax.ShapeDtypeStruct((S, E), x_dst.dtype),
+            jax.ShapeDtypeStruct((K, S, E), x_n.dtype),
+        ]
+        out_specs += [
+            pl.BlockSpec((sb, E), lambda i: (i, 0)),
+            pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
+        ]
+    else:
+        # dummy 1-row outputs so the kernel arity is static; never read
+        out_shape += [
+            jax.ShapeDtypeStruct((sb, E), x_dst.dtype),
+            jax.ShapeDtypeStruct((K, sb, E), x_n.dtype),
+        ]
+        out_specs += [
+            pl.BlockSpec((sb, E), lambda i: (0, 0)),
+            pl.BlockSpec((K, sb, E), lambda i: (0, 0, 0)),
+        ]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((sb, E), lambda i: (i, 0)),
+            pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((sb, K), lambda i: (i, 0)),
+            pl.BlockSpec((E, H), lambda i: (0, 0)),
+            pl.BlockSpec((E, H), lambda i: (0, 0)),
+            pl.BlockSpec((E, H * D), lambda i: (0, 0)),
+            pl.BlockSpec((sb, H * D), lambda i: (i, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x_dst, x_n, mask_f, wal, war, w, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gat_attention(x_dst, x_n, mask_f, wal, war, w, slope: float, need_dx: bool):
+    """Fused GAT attention layer over one sampled hop.
+
+    Args:
+      x_dst:  [S, E] destination-row inputs (compute dtype, e.g. bf16).
+      x_n:    [K, S, E] neighbor inputs, K-MAJOR (slot k of every row
+              contiguous) — the native layout of the dedup-free first hop.
+      mask_f: [S, K] f32, 1.0 for valid neighbor slots.
+      wal/war: [E, H] folded attention vectors W @ A_l / W @ A_r (compute
+              dtype) — scores el/er = x @ wal / x @ war.
+      w:      [E, H*D] shared projection (compute dtype).
+      slope:  LeakyReLU negative slope (static).
+      need_dx: static; False lets layer-0 (features input) skip the d_x
+              computation and its [K, S, E] HBM write entirely.
+
+    Returns [S, H*D]: per-head outputs concatenated on the feature axis
+    (head h occupies columns [h*D, (h+1)*D)), in x_dst.dtype.
+    """
+    return _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope)
+
+
+def _gat_fwd(x_dst, x_n, mask_f, wal, war, w, slope, need_dx):
+    out = _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope)
+    return out, (x_dst, x_n, mask_f, wal, war, w)
+
+
+def _gat_bwd(slope, need_dx, res, g):
+    x_dst, x_n, mask_f, wal, war, w = res
+    dwal, dwar, dw, dxd, dxn = _bwd_call(
+        x_dst, x_n, mask_f, wal, war, w, g, slope, need_dx
+    )
+    if not need_dx:
+        dxd = jnp.zeros_like(x_dst)
+        dxn = jnp.zeros_like(x_n)
+    return (
+        dxd,
+        dxn,
+        jnp.zeros_like(mask_f),
+        dwal.astype(wal.dtype),
+        dwar.astype(war.dtype),
+        dw.astype(w.dtype),
+    )
+
+
+gat_attention.defvjp(_gat_fwd, _gat_bwd)
+
+
+def gat_attention_reference(x_dst, x_n, mask_f, wal, war, w, slope):
+    """Pure-jnp oracle of :func:`gat_attention` (same f32 softmax math)."""
+    f32 = jnp.float32
+    K, S, E = x_n.shape
+    H = wal.shape[1]
+    D = w.shape[1] // H
+    el = jnp.dot(x_dst, wal, preferred_element_type=f32)  # [S, H]
+    er = jnp.einsum("kse,eh->ksh", x_n, war).astype(f32)  # [K, S, H]
+    pre = el[None] + er
+    s = jnp.where(pre >= 0, pre, pre * slope)
+    s = jnp.where(mask_f.T[:, :, None] > 0, s, -1e30)
+    gmax = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - gmax) * mask_f.T[:, :, None]
+    den = jnp.maximum(jnp.sum(e, axis=0), 1e-12)
+    alpha = e / den[None]  # [K, S, H]
+    outs = []
+    for h in range(H):
+        agg = jnp.sum(alpha[:, :, h][:, :, None] * x_n.astype(f32), axis=0)
+        outs.append(
+            jnp.dot(
+                agg.astype(w.dtype), w[:, h * D : (h + 1) * D],
+                preferred_element_type=f32,
+            )
+        )
+    return jnp.concatenate(outs, axis=1).astype(x_dst.dtype)

@@ -150,25 +150,66 @@ def exchange_gather(
     axis_name: str,
     shard_size: int,
     budget: Optional[int] = None,
+    lossless: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-chip body (call inside shard_map): returns ([L, F] rows,
-    overflow_count).  Rows for masked-out / overflowed ids are zeros."""
+    unserved_count).  Rows for masked-out ids are zeros.
+
+    **Lossless** (round-4, SURVEY §7's "overflow spill to a second round"):
+    requests beyond the per-peer budget are re-issued in follow-up spill
+    rounds (a ``while_loop`` gated on the psum'd pending count) until every
+    request is served — each round serves at least ``budget`` ids per
+    (requester, owner) pair, so the loop terminates in
+    ``ceil(max pair load / budget)`` rounds and costs nothing when the
+    first round covers everything (the common case).  This matches the
+    reference's never-drops semantics, where the UVA fallback serves every
+    element (``src/feature/cuda/feature_ops.cu:38-73``).  The returned
+    count is the residual UNSERVED total — always 0 when lossless.
+    ``lossless=False`` restores single-round drop-and-count (used by the
+    budget-accounting tests and the autotuner's overflow model).
+    """
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     Pb = budget if budget is not None else request_budget(ids.shape[0], n)
 
-    plan, recv, overflow = make_request(ids, mask, axis_name, shard_size, Pb)
-    # serve from the local shard
-    base = me * shard_size
-    local_idx = recv - base
-    serve = (recv != INVALID_ID) & (local_idx >= 0) & (local_idx < local_shard.shape[0])
-    rows = jnp.where(
-        serve[..., None],
-        local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
-        0,
-    )  # [n, Pb, F]
-    out = return_response(plan, rows, axis_name)
-    return out, overflow
+    def one_round(pending, out):
+        plan, recv, ovf = make_request(ids, pending, axis_name, shard_size, Pb)
+        base = me * shard_size
+        local_idx = recv - base
+        serve = (
+            (recv != INVALID_ID)
+            & (local_idx >= 0)
+            & (local_idx < local_shard.shape[0])
+        )
+        rows = jnp.where(
+            serve[..., None],
+            local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
+            0,
+        )  # [n, Pb, F]
+        got = return_response(plan, rows, axis_name)
+        served = pending & plan.in_budget
+        out = jnp.where(served[:, None], got, out)
+        return pending & ~served, out, ovf
+
+    out0 = jnp.zeros((ids.shape[0], local_shard.shape[1]), local_shard.dtype)
+    pending, out, ovf = one_round(mask, out0)
+    if not lossless:
+        return out, ovf
+    remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axis_name)
+
+    def cond(c):
+        return c[2] > 0
+
+    def body(c):
+        pending, out, _ = c
+        pending, out, _ = one_round(pending, out)
+        rem = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axis_name)
+        return pending, out, rem
+
+    pending, out, remaining = jax.lax.while_loop(
+        cond, body, (pending, out, remaining)
+    )
+    return out, jnp.sum(pending.astype(jnp.int32))
 
 
 def exchange_gather_hier(
@@ -180,6 +221,7 @@ def exchange_gather_hier(
     shard_size: int,
     budget_host: Optional[int] = None,
     budget_data: Optional[int] = None,
+    lossless: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage hierarchical exchange for a ('host', 'data') mesh.
 
@@ -197,7 +239,15 @@ def exchange_gather_hier(
       responses retrace the two stages in reverse.
 
     Budgets default to ``request_budget`` per tier.  Returns
-    ([L, F] rows, overflow = stage-1 drops + stage-2 relay drops).
+    ([L, F] rows, unserved_count — 0 when ``lossless``).
+
+    **Lossless spill** (round-4): a request can miss its first round at
+    either stage (host-budget overflow, or stage-2 relay overflow on the
+    remote host — invisible to the requester, so every served row carries
+    a 1-flag in an extra payload column).  Unserved requests re-ride the
+    full two-stage exchange in follow-up rounds until the psum'd pending
+    count hits zero; each round serves at least the stage budgets per
+    bucket pair, so termination is bounded by the worst pair load.
     """
     H = jax.lax.axis_size(host_axis)
     D = jax.lax.axis_size(data_axis)
@@ -207,35 +257,65 @@ def exchange_gather_hier(
     # be owned by a single chip — intra-host skew is structural, and ICI
     # volume is cheap relative to the DCN stage it protects)
     Bd = budget_data if budget_data is not None else H * Bh
+    F = local_shard.shape[1]
 
-    owner_global = jnp.where(mask, ids // shard_size, H * D)
-    plan1, recv1, ovf1 = make_request(
-        ids, mask, host_axis, shard_size, Bh, owners=owner_global // D
+    def one_round(pending, out):
+        owner_global = jnp.where(pending, ids // shard_size, H * D)
+        plan1, recv1, ovf1 = make_request(
+            ids, pending, host_axis, shard_size, Bh, owners=owner_global // D
+        )
+        relay = recv1.reshape(-1)  # [H*Bh] requests now on the owner host
+        rmask = relay != INVALID_ID
+        owner_chip = jnp.where(rmask, (relay // shard_size) % D, D)
+        plan2, recv2, ovf2 = make_request(
+            relay, rmask, data_axis, shard_size, Bd, owners=owner_chip
+        )
+        # serve from the local shard (recv2 ids are owned by this chip)
+        me = jax.lax.axis_index(host_axis) * D + jax.lax.axis_index(data_axis)
+        local_idx = recv2 - me * shard_size
+        serve = (
+            (recv2 != INVALID_ID)
+            & (local_idx >= 0)
+            & (local_idx < local_shard.shape[0])
+        )
+        rows = jnp.where(
+            serve[..., None],
+            local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
+            0,
+        )  # [D, Bd, F]
+        # served flag rides back as one extra column (survives both stages;
+        # the requester cannot otherwise tell a stage-2 drop from a zero row)
+        payload = jnp.concatenate(
+            [rows, serve[..., None].astype(rows.dtype)], axis=-1
+        )
+        back1 = return_response(plan2, payload, data_axis)  # [H*Bh, F+1]
+        out2 = return_response(
+            plan1, back1.reshape(H, Bh, F + 1), host_axis
+        )  # [L, F+1]
+        served = pending & plan1.in_budget & (out2[:, F] > 0)
+        out = jnp.where(served[:, None], out2[:, :F], out)
+        return pending & ~served, out, ovf1 + ovf2
+
+    axes = (host_axis, data_axis)
+    out0 = jnp.zeros((L, F), local_shard.dtype)
+    pending, out, ovf = one_round(mask, out0)
+    if not lossless:
+        return out, ovf
+    remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axes)
+
+    def cond(c):
+        return c[2] > 0
+
+    def body(c):
+        pending, out, _ = c
+        pending, out, _ = one_round(pending, out)
+        rem = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axes)
+        return pending, out, rem
+
+    pending, out, remaining = jax.lax.while_loop(
+        cond, body, (pending, out, remaining)
     )
-    relay = recv1.reshape(-1)  # [H*Bh] requests now on the owner host
-    rmask = relay != INVALID_ID
-    owner_chip = jnp.where(rmask, (relay // shard_size) % D, D)
-    plan2, recv2, ovf2 = make_request(
-        relay, rmask, data_axis, shard_size, Bd, owners=owner_chip
-    )
-    # serve from the local shard (recv2 ids are owned by this chip)
-    me = jax.lax.axis_index(host_axis) * D + jax.lax.axis_index(data_axis)
-    local_idx = recv2 - me * shard_size
-    serve = (
-        (recv2 != INVALID_ID)
-        & (local_idx >= 0)
-        & (local_idx < local_shard.shape[0])
-    )
-    rows = jnp.where(
-        serve[..., None],
-        local_shard[jnp.clip(local_idx, 0, local_shard.shape[0] - 1)],
-        0,
-    )  # [D, Bd, F]
-    back1 = return_response(plan2, rows, data_axis)  # [H*Bh, F]
-    out = return_response(
-        plan1, back1.reshape(H, Bh, back1.shape[-1]), host_axis
-    )  # [L, F]
-    return out, ovf1 + ovf2
+    return out, jnp.sum(pending.astype(jnp.int32))
 
 
 def build_union_tables(
@@ -280,14 +360,20 @@ def build_union_tables(
 
 def peer_hot_fetch(
     axis_name, hot_sorted, hot_rows, union_sorted, union_owner, ids, mask,
-    budget: int,
+    budget: int, lossless: bool = True,
 ):
     """Serve ids from the hot tier of the PEER that caches them (the
     reference's NVLink tier — a remote-cached row is fetched from the
     peer's cache, not the slow base: ``src/cache/tensor_p2p_cache.h:21-23``).
     Requests route by the replicated union owner table; each peer probes
-    its own hot tier to serve.  Budget-overflowed requests are NOT served
-    (``served_mask`` False) — callers route them to their base tier.
+    its own hot tier to serve.
+
+    **Lossless** (default): budget-overflowed requests spill to follow-up
+    rounds until every hot-somewhere id is served — required by the
+    dist-host data plane, whose staging covers only not-hot-anywhere rows
+    (a dropped peer request there has no fallback tier).  With
+    ``lossless=False`` overflowed requests are left unserved
+    (``served_mask`` False) for callers that route them to a base tier.
 
     Returns ([L, F] rows, served_mask [L]).  Call inside shard_map."""
     n = jax.lax.axis_size(axis_name)
@@ -295,20 +381,41 @@ def peer_hot_fetch(
     upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
     hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
     owner = jnp.where(hot_somewhere, union_owner[upos], n)
-    plan, recv, _ = make_request(
-        ids, hot_somewhere, axis_name, 1, budget, owners=owner
-    )
-    # serve received requests from MY hot tier
-    rflat = recv.reshape(-1)
     C = hot_sorted.shape[0]
-    spos = jnp.clip(jnp.searchsorted(hot_sorted, rflat), 0, max(C - 1, 0))
-    shit = (rflat != INVALID_ID) & (hot_sorted[spos] == rflat)
-    rows = jnp.where(shit[:, None], hot_rows[spos], 0).reshape(
-        recv.shape[0], recv.shape[1], -1
-    )
-    out = return_response(plan, rows, axis_name)
-    served = hot_somewhere & plan.in_budget
-    return out, served
+
+    def one_round(pending, out):
+        plan, recv, _ = make_request(
+            ids, pending, axis_name, 1, budget, owners=owner
+        )
+        # serve received requests from MY hot tier
+        rflat = recv.reshape(-1)
+        spos = jnp.clip(jnp.searchsorted(hot_sorted, rflat), 0, max(C - 1, 0))
+        serve_hit = (rflat != INVALID_ID) & (hot_sorted[spos] == rflat)
+        rows = jnp.where(serve_hit[:, None], hot_rows[spos], 0).reshape(
+            recv.shape[0], recv.shape[1], -1
+        )
+        got = return_response(plan, rows, axis_name)
+        served_r = pending & plan.in_budget
+        out = jnp.where(served_r[:, None], got, out)
+        return pending & ~served_r, out
+
+    out0 = jnp.zeros((ids.shape[0], hot_rows.shape[-1]), hot_rows.dtype)
+    pending, out = one_round(hot_somewhere, out0)
+    if not lossless:
+        return out, hot_somewhere & ~pending
+    remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axis_name)
+
+    def cond(c):
+        return c[2] > 0
+
+    def body(c):
+        pending, out, _ = c
+        pending, out = one_round(pending, out)
+        rem = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axis_name)
+        return pending, out, rem
+
+    pending, out, _ = jax.lax.while_loop(cond, body, (pending, out, remaining))
+    return out, hot_somewhere & ~pending
 
 
 class ShardedFeatureStore:
@@ -340,6 +447,7 @@ class ShardedFeatureStore:
         quantize: bool = False,
         hierarchical: bool = False,  # 2-stage DCN/ICI exchange (tuple axis)
         peer_hot: bool = False,  # serve misses from PEER hot tiers (selfless)
+        lossless: bool = True,  # spill overflowed requests to extra rounds
     ):
         from dist_gnn_tpu.parallel.mesh import axis_size as _axis_size
 
@@ -351,6 +459,7 @@ class ShardedFeatureStore:
                 isinstance(self.axis_name, tuple) and len(self.axis_name) == 2
             ), "hierarchical exchange needs a ('host', 'data') axis pair"
         self.quantized = quantize
+        self.lossless = lossless
         self.out_dim = features.shape[1]
         if quantize:
             from dist_gnn_tpu.ops.quantize import quantize_pack
@@ -460,11 +569,11 @@ class ShardedFeatureStore:
             host_ax, data_ax = self.axis_name
             return exchange_gather_hier(
                 local_shard, ids, mask, host_ax, data_ax, self.shard_size,
-                budget_host=budget,
+                budget_host=budget, lossless=self.lossless,
             )
         return exchange_gather(
             local_shard, ids, mask, self.axis_name, self.shard_size,
-            budget=budget,
+            budget=budget, lossless=self.lossless,
         )
 
     def fetch_local(self, shard_args, ids, mask, budget=None):

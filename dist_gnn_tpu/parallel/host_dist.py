@@ -147,13 +147,19 @@ class DistHostFeatureStore:
 
     def stage(self, frontier_np: np.ndarray, fmask_np: np.ndarray) -> DistStaged:
         """Gather each chip's residual misses (not hot ANYWHERE) from the
-        host base; start the async H2D.  frontier_np/fmask_np: [n, L]."""
+        host base; start the async H2D.  frontier_np/fmask_np: [n, L].
+
+        **Lossless**: the staged slab GROWS (power-of-two buckets above
+        ``miss_budget``) whenever a batch's miss count exceeds it — the
+        host can always serve every row (the reference's pinned-host tier
+        serves per-element, ``feature_ops.cu:38-73``); the static budget
+        only sizes the common-case transfer.  A grown slab re-traces the
+        jitted consumer once per new bucket size; ``overflow`` reports the
+        rows staged beyond the configured budget (served, not dropped)."""
         n, L = frontier_np.shape
-        R = self.miss_budget
         F = self.base.shape[1]
-        rows = np.zeros((n, R, F), self.base.dtype)
-        slots = np.full((n, R), L, np.int32)
-        count = overflow = 0
+        miss_lists = []
+        max_miss = 0
         for c in range(n):
             ids, m = frontier_np[c], fmask_np[c]
             us = self._union_for_chip(c)
@@ -163,14 +169,26 @@ class DistHostFeatureStore:
             else:
                 any_hot = np.zeros(L, bool)
             miss_idx = np.flatnonzero(m & ~any_hot)
-            overflow += max(0, len(miss_idx) - R)
-            miss_idx = miss_idx[:R]
+            miss_lists.append(miss_idx)
+            max_miss = max(max_miss, len(miss_idx))
+        R = self.miss_budget
+        while R < max_miss:
+            R *= 2
+        R = min(R, L) if L else R
+        rows = np.zeros((n, R, F), self.base.dtype)
+        slots = np.full((n, R), L, np.int32)
+        count = overflow = 0
+        for c in range(n):
+            miss_idx = miss_lists[c]
+            overflow += max(0, len(miss_idx) - self.miss_budget)
             k = len(miss_idx)
             count += k
             if k:
                 from dist_gnn_tpu.utils import native
 
-                native.gather_rows(self.base, ids[miss_idx], out=rows[c, :k])
+                native.gather_rows(
+                    self.base, frontier_np[c][miss_idx], out=rows[c, :k]
+                )
                 slots[c, :k] = miss_idx
         ax = self.axis_name
         return DistStaged(

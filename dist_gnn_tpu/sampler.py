@@ -104,12 +104,26 @@ def _no_dedup_block(seeds, seed_mask, nb) -> Block:
     same either way and there is no further sampling layer; duplicates
     only make the feature gather re-fetch some rows, which costs less than
     the relabel it replaces (measured: relabel 9.3 ms vs +2.7 ms gather at
-    the bench shapes)."""
+    the bench shapes).
+
+    Neighbor slots are laid out **k-major**: the frontier is
+    ``[seeds; nb[:, 0]; nb[:, 1]; ...]`` so slot k of every destination
+    row is a contiguous [S]-run.  The gathered features of the contiguous
+    first layer then reshape for FREE to the ``[K, S, F]`` k-major layout
+    the fused Pallas GAT kernel (ops/gat_pallas.py) and the reshape-based
+    SAGE/GCN aggregations consume (per-k slices are full-lane [S, F]
+    tiles; the old s-major layout put k on the second-minor axis and
+    needed either transposes or K-strided access)."""
     S = seeds.shape[0]
     B, k = nb.ids.shape
-    frontier = jnp.concatenate([seeds, jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(-1)])
-    frontier_mask = jnp.concatenate([seed_mask, nb.mask.reshape(-1)])
-    slots = S + jnp.arange(B * k, dtype=jnp.int32).reshape(B, k)
+    ids_km = jnp.where(nb.mask, nb.ids, INVALID_ID).T  # [k, B]
+    frontier = jnp.concatenate([seeds, ids_km.reshape(-1)])
+    frontier_mask = jnp.concatenate([seed_mask, nb.mask.T.reshape(-1)])
+    slots = (
+        S
+        + jnp.arange(k, dtype=jnp.int32)[None, :] * B
+        + jnp.arange(B, dtype=jnp.int32)[:, None]
+    )
     return Block(
         seeds=seeds,
         seed_mask=seed_mask,

@@ -1,0 +1,100 @@
+"""Fused Pallas GAT layer (ops/gat_pallas.py) vs jnp oracles.
+
+Runs in interpret mode on the CPU mesh (conftest forces CPU); the same
+code compiles natively on TPU.  Checks forward AND grads (custom VJP)
+against both the module's own f32 oracle and the shipped jnp GAT layer's
+masked-softmax math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dist_gnn_tpu.ops.gat_pallas import (
+    gat_attention,
+    gat_attention_reference,
+)
+
+
+def _mk(seed, S, K, E, H, D, dtype=jnp.float32, holes=True):
+    rng = np.random.default_rng(seed)
+    x_dst = jnp.asarray(rng.standard_normal((S, E)), dtype)
+    x_n = jnp.asarray(rng.standard_normal((K, S, E)), dtype)
+    if holes:
+        mask = rng.random((S, K)) < 0.85
+        mask[0, :] = False  # one fully-masked row
+        mask[1, :] = True
+    else:
+        mask = np.ones((S, K), bool)
+    mask_f = jnp.asarray(mask.astype(np.float32))
+    wal = jnp.asarray(rng.standard_normal((E, H)) * 0.1, dtype)
+    war = jnp.asarray(rng.standard_normal((E, H)) * 0.1, dtype)
+    w = jnp.asarray(rng.standard_normal((E, H * D)) * 0.1, dtype)
+    return x_dst, x_n, mask_f, wal, war, w
+
+
+@pytest.mark.parametrize("S,K,E,H,D", [(256, 5, 64, 4, 128), (512, 3, 100, 2, 128)])
+def test_forward_matches_reference(S, K, E, H, D):
+    args = _mk(0, S, K, E, H, D)
+    out = gat_attention(*args, 0.2, True)
+    ref = gat_attention_reference(*args, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fully_masked_row_outputs_zero():
+    args = _mk(1, 256, 4, 32, 2, 128)
+    out = np.asarray(gat_attention(*args, 0.2, True))
+    assert np.all(out[0] == 0.0)
+
+
+def test_grads_match_reference():
+    args = _mk(2, 256, 4, 48, 2, 128)
+    x_dst, x_n, mask_f, wal, war, w = args
+
+    def loss_k(xd, xn, wal_, war_, w_):
+        o = gat_attention(xd, xn, mask_f, wal_, war_, w_, 0.2, True)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_r(xd, xn, wal_, war_, w_):
+        o = gat_attention_reference(xd, xn, mask_f, wal_, war_, w_, 0.2)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x_dst, x_n, wal, war, w)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x_dst, x_n, wal, war, w)
+    for a, b, name in zip(gk, gr, ["dx_dst", "dx_n", "dwal", "dwar", "dw"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+def test_need_dx_false_zeroes_input_grads_only():
+    args = _mk(3, 256, 3, 32, 2, 128)
+    x_dst, x_n, mask_f, wal, war, w = args
+
+    def loss(xd, xn, w_, need_dx):
+        o = gat_attention(xd, xn, mask_f, wal, war, w_, 0.2, need_dx)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_with = jax.grad(loss, argnums=(0, 1, 2))(x_dst, x_n, w, True)
+    g_wo = jax.grad(loss, argnums=(0, 1, 2))(x_dst, x_n, w, False)
+    assert np.all(np.asarray(g_wo[0]) == 0) and np.all(np.asarray(g_wo[1]) == 0)
+    np.testing.assert_allclose(
+        np.asarray(g_wo[2]), np.asarray(g_with[2]), rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(g_with[0])).max() > 0
+
+
+def test_bf16_forward_close():
+    args32 = _mk(4, 256, 5, 64, 4, 128)
+    args16 = tuple(
+        a.astype(jnp.bfloat16) if a.dtype == jnp.float32 and a.ndim > 1 and i != 2 else a
+        for i, a in enumerate(args32)
+    )
+    out16 = np.asarray(gat_attention(*args16, 0.2, True), np.float32)
+    ref32 = np.asarray(gat_attention_reference(*args32, 0.2), np.float32)
+    # bf16 inputs: agreement to ~1e-2 relative
+    denom = np.abs(ref32).max()
+    assert np.abs(out16 - ref32).max() / denom < 0.05
