@@ -197,13 +197,22 @@ def run_worker(args) -> None:
         )
         from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
 
+        # derive the tier knobs from the same batch simulation that tunes
+        # the sampler (round-4 VERDICT #8 — no hardcoded budget constants)
+        from dist_gnn_tpu.cache.autotune import tune_dist_tier
+
+        tier = tune_dist_tier(
+            arrays["indptr"], arrays["indices"], arrays["train_idx"],
+            max(1, args.batch_size // n_dev), fan_out, n_dev,
+            hot_ids=s_hot, num_nodes=meta["num_nodes"],
+        )
         gstore = DistHostCSCStore(
-            hg, mesh, s_hot, miss_budget=4 * args.batch_size * max(fan_out),
-            deg_cap=4 * args.avg_degree, axis_name=ax,
+            hg, mesh, s_hot, miss_budget=tier.struct_miss_budget,
+            deg_cap=tier.deg_cap, axis_name=ax,
         )
         store = DistHostFeatureStore(
             arrays["features"], mesh, f_hot,
-            miss_budget=4 * args.batch_size * max(fan_out), axis_name=ax,
+            miss_budget=tier.feat_miss_budget, axis_name=ax,
         )
         trainer = DistHostTrainer(
             model=model, fan_out=fan_out, store=store, gstore=gstore,
