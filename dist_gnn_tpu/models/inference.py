@@ -36,7 +36,12 @@ def _span_rows(local_ptr, base, n: int, num_dst: int):
     row covering ``base`` — one scalar searchsorted.  Duplicate starts
     (empty rows) keep the max row id, matching searchsorted-right - 1.
     """
-    rel = (local_ptr - base).astype(jnp.int32)  # OOB/negative -> dropped
+    rel = (local_ptr - base).astype(jnp.int32)
+    # negative indices WRAP under mode='drop' (jax scatter semantics) —
+    # route starts before the chunk to the explicit OOB slot n so they are
+    # dropped, instead of relying on the wrapped marks being dominated by
+    # the row0 maximum (round-3 ADVICE #1)
+    rel = jnp.where(rel < 0, n, rel)
     mark = (
         jnp.full((n,), -1, jnp.int32)
         .at[rel]
@@ -326,6 +331,10 @@ def full_graph_inference_host(
     return h_host
 
 
+# per-graph serving prep (see full_graph_inference): id(hg) -> (key, arrays)
+_PREP_CACHE: dict = {}
+
+
 @partial(jax.jit, static_argnames=("num_nodes", "nnz"))
 def _edge_rows(indptr, num_nodes: int, nnz: int):
     """Static edge→dst-row map [nnz_pad]: scatter each row's start offset,
@@ -435,6 +444,8 @@ def _gat_ms_all_edges(
     H = el.shape[1]
     n_chunks = e_base.shape[0]
     neg = jnp.float32(-1e30)
+    # pad el so the per-chunk [span+1] slice never clamps near row N
+    el = jnp.concatenate([el, jnp.zeros((span + 1, H), el.dtype)], axis=0)
 
     def body(c, carry):
         m, s = carry
@@ -444,26 +455,39 @@ def _gat_ms_all_edges(
         rows = jax.lax.dynamic_slice(erows_p, (base,), (edge_chunk,))
         valid = jnp.arange(edge_chunk, dtype=jnp.int32) < e_cnt[c]
         local = jnp.where(valid, rows - lo, span)
+        # el by chunk-local one-hot matmul (the global el[rows] gather cost
+        # ~0.16 ms/chunk; the banded [E, span+1] contraction is MXU work)
+        oh_b = local[:, None] == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
+        oh = oh_b.astype(jnp.float32)
+        el_c = jax.lax.dynamic_slice(el, (lo, 0), (span + 1, H))
+        el_e = jax.lax.dot_general(
+            oh, el_c.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [E, H]
         score = jax.nn.leaky_relu(
-            (el[jnp.clip(rows, 0, n_out - 1)] + er[src]).astype(jnp.float32),
-            negative_slope,
+            el_e + er[src].astype(jnp.float32), negative_slope
         )
         score = jnp.where(valid[:, None], score, neg)
-        part_m = jax.ops.segment_max(
-            score, local, num_segments=span + 1, indices_are_sorted=True
-        )
-        part_m = jnp.maximum(part_m, neg)  # empty segments: -inf -> neg
+        # per-row max WITHOUT segment_max's scatter (~2.5 ms/chunk on TPU):
+        # masked reduce over the edge axis per head — XLA fuses the select
+        # into the reduction, no [E, span, H] intermediate
+        part_m = jnp.stack(
+            [
+                jnp.max(
+                    jnp.where(oh_b, score[:, h : h + 1], neg), axis=0
+                )
+                for h in range(H)
+            ],
+            axis=1,
+        )  # [span+1, H]
         cur_m = jax.lax.dynamic_slice(m, (lo, 0), (span + 1, H))
         cur_s = jax.lax.dynamic_slice(s, (lo, 0), (span + 1, H))
         m_new = jnp.maximum(cur_m, part_m)
-        w = jnp.where(
-            valid[:, None], jnp.exp(score - m_new[local]), 0.0
+        m_e = jax.lax.dot_general(  # m_new[local], one-hot form
+            oh, m_new, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        # one-hot MXU segment-sum (see _sum_all_edges)
-        oh = (
-            local[:, None]
-            == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
-        ).astype(jnp.float32)
+        w = jnp.where(valid[:, None], jnp.exp(score - m_e), 0.0)
         w_sum = jax.lax.dot_general(
             oh, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -489,6 +513,11 @@ def _gat_acc_all_edges(
     span chunk (the accumulator is never rescaled)."""
     N, H, d = z.shape
     n_chunks = e_base.shape[0]
+    # pad per-row tables so per-chunk slices never clamp near row N
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((span + 1, a.shape[1]), a.dtype)], axis=0
+    )
+    el, m, rs = pad(el), pad(m), pad(rs)
 
     def body(c, acc):
         base = e_base[c]
@@ -497,23 +526,32 @@ def _gat_acc_all_edges(
         rows = jax.lax.dynamic_slice(erows_p, (base,), (edge_chunk,))
         valid = jnp.arange(edge_chunk, dtype=jnp.int32) < e_cnt[c]
         local = jnp.where(valid, rows - lo, span)
-        rows_c = jnp.clip(rows, 0, n_out - 1)
+        oh_b = local[:, None] == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
+        # per-row tables (el, final m, 1/s) land on edges via the one-hot
+        # matmul over the chunk-local slice — no global row gathers
+        tbl = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(el, (lo, 0), (span + 1, H)).astype(jnp.float32),
+                jax.lax.dynamic_slice(m, (lo, 0), (span + 1, H)),
+                jax.lax.dynamic_slice(rs, (lo, 0), (span + 1, H)),
+            ],
+            axis=1,
+        )
+        onto = jax.lax.dot_general(
+            oh_b.astype(jnp.float32), tbl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [E, 3H]
+        el_e, m_e, rs_e = onto[:, :H], onto[:, H : 2 * H], onto[:, 2 * H :]
         score = jax.nn.leaky_relu(
-            (el[rows_c] + er[src]).astype(jnp.float32), negative_slope
+            el_e + er[src].astype(jnp.float32), negative_slope
         )
-        alpha = jnp.where(
-            valid[:, None], jnp.exp(score - m[rows_c]) * rs[rows_c], 0.0
-        )
+        alpha = jnp.where(valid[:, None], jnp.exp(score - m_e) * rs_e, 0.0)
         msg = (
             alpha[:, :, None].astype(z.dtype) * z[src]
         ).reshape(edge_chunk, H * d)
         # one-hot MXU segment-sum (see _sum_all_edges)
-        oh = (
-            local[:, None]
-            == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
-        ).astype(msg.dtype)
         part = jax.lax.dot_general(
-            oh, msg, (((0,), (0,)), ((), ())),
+            oh_b.astype(msg.dtype), msg, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         cur = jax.lax.dynamic_slice(acc, (lo, 0), (span + 1, H * d))
@@ -547,19 +585,33 @@ def full_graph_inference(
     (~10.7M edges/s served), and avoids the full-[N] scatter-add whose
     HBM-sized output measured ~4 ms/chunk.
     """
-    ptr_dtype = np.int64 if hg.num_edges >= 2**31 else np.int32
-    indptr = jnp.asarray(np.asarray(hg.indptr, dtype=ptr_dtype))
-    indices = jnp.asarray(hg.indices)
     N = hg.num_nodes
     nnz = int(hg.num_edges)
     span = node_chunk
     h = features
 
-    erows = _edge_rows(indptr, N, nnz)
-    indices_p = _pad_edges(indices, edge_chunk, 0)
-    erows_p = _pad_edges(erows, edge_chunk, -1)
-    eb, ec, rl = _span_chunks(np.asarray(hg.indptr), edge_chunk, span)
-    eb, ec, rl = jnp.asarray(eb), jnp.asarray(ec), jnp.asarray(rl)
+    # Graph-static prep (edge uploads + edge->row map + span-chunk plan)
+    # is SERVING STATE: ~3 s on the tunneled backend (120 MB H2D + a host
+    # planning loop), reused across calls like the executables are.  Keyed
+    # by the arrays' identity; a different graph object re-preps.
+    key = (id(hg.indptr), id(hg.indices), edge_chunk, span)
+    cache = _PREP_CACHE.get(id(hg))
+    if cache is not None and cache[0] == key:
+        indptr, indices_p, erows_p, eb, ec, rl = cache[1]
+    else:
+        ptr_dtype = np.int64 if nnz >= 2**31 else np.int32
+        indptr = jnp.asarray(np.asarray(hg.indptr, dtype=ptr_dtype))
+        indices = jnp.asarray(hg.indices)
+        erows = _edge_rows(indptr, N, nnz)
+        indices_p = _pad_edges(indices, edge_chunk, 0)
+        erows_p = _pad_edges(erows, edge_chunk, -1)
+        eb, ec, rl = _span_chunks(np.asarray(hg.indptr), edge_chunk, span)
+        eb, ec, rl = jnp.asarray(eb), jnp.asarray(ec), jnp.asarray(rl)
+        _PREP_CACHE[id(hg)] = (
+            key, (indptr, indices_p, erows_p, eb, ec, rl)
+        )
+        if len(_PREP_CACHE) > 4:  # bound device memory held by old preps
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
 
     is_gat = hasattr(model, "_project")
     is_gcn = (not is_gat) and not hasattr(model, "_layer_forward")
