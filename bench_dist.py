@@ -190,12 +190,22 @@ def main():
         int(np.prod(p.shape)) * 4 for p in jax.tree.leaves(state.params)
     )
 
-    def predict(nc: int) -> float:
-        t_ex = valid * (nc - 1) / nc * row_bytes / cm.bandwidth_ici
+    def predict(nc: int, t1_: float, rows: int, rb: int) -> float:
+        t_ex = rows * (nc - 1) / nc * rb / cm.bandwidth_ici
         t_ps = 2 * param_bytes * (nc - 1) / nc / cm.bandwidth_ici
-        return t1 / (t1 + t_ex + t_ps)
+        return t1_ / (t1_ + t_ex + t_ps)
 
-    predicted = {str(nc): round(predict(nc), 4) for nc in (2, 4, 8, 16)}
+    predicted = {
+        str(nc): round(predict(nc, t1, valid, row_bytes), 4)
+        for nc in (2, 4, 8, 16)
+    }
+    # canonical v5e bench-config prediction (frontier 425984 bf16 rows of
+    # 200 B, single-chip step 8.39 ms — BENCH_r03/NOTES), independent of
+    # this run's platform: the day-1 multi-chip yardstick
+    pred_v5e = {
+        str(nc): round(predict(nc, 8.39e-3, 425_984, 200), 4)
+        for nc in (2, 4, 8, 16)
+    }
 
     print(json.dumps({
         "metric": "dist_graphsage_train_edges_per_s",
@@ -217,6 +227,7 @@ def main():
             "overflow_unserved": int(metrics["overflow"]),
             "sampler_overflow": int(metrics["sampler_overflow"]),
             "predicted_scaling_vs_1chip": predicted,
+            "predicted_scaling_v5e_bench_config": pred_v5e,
             "note": (
                 "cpu-virtual wall times are not TPU perf; predicted_"
                 "scaling uses the calibrated CostModel ICI bandwidth"
