@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--hot-frac", type=float, default=0.0,
                     help=">0: heat-planned hot tier of this row fraction")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8-packed store + capacity-aware hot plan "
+                         "(same byte budget admits ~4x hot rows)")
     ap.add_argument("--two-tier", action="store_true",
                     help="('host','data') mesh with hierarchical exchange")
     args = ap.parse_args()
@@ -113,10 +116,12 @@ def main():
         cap = int(args.hot_frac * N) * (F * 4 + 16) // max(n, 1)
         _, _, hot_ids = build_cache_plan(
             hg, F, parts, fan_out, capacity_bytes=cap, policy="auto",
+            hot_dtype="int8" if args.quantize else None,
         )
     store = ShardedFeatureStore(
         feats_np, mesh, axis_name=ax, hot_ids=hot_ids,
         hierarchical=args.two_tier, peer_hot=hot_ids is not None,
+        quantize=args.quantize,
     )
     labels_padded = np.zeros((store.shard_size * store.num_shards, 1), np.int32)
     labels_padded[:N, 0] = arrays["labels"]
@@ -172,13 +177,23 @@ def main():
     L = int(blocks[-1].frontier.shape[0])
     valid = int(jnp.sum(blocks[-1].frontier_mask))
     remote_frac = (n - 1) / n
-    row_bytes = F * (2 if on_tpu else 4)
+    row_bytes = (F + 4) if args.quantize else F * (2 if on_tpu else 4)
+    hot_hit = (
+        float(np.mean([
+            store.hot_hit_rate(
+                np.where(np.asarray(blocks[-1].frontier_mask),
+                         np.asarray(blocks[-1].frontier), 0), c)
+            for c in range(n)
+        ]))
+        if hot_ids is not None else 0.0
+    )
     budget = store.request_budget_for(L)
     peers = (
         mesh.shape[ax[0]] if args.two_tier else n
     )
     exch_bytes_budget = peers * budget * row_bytes  # static upper bound
-    exch_bytes_obs = int(valid * remote_frac * row_bytes)  # expected actual
+    # expected actual: hot-tier hits never ride the exchange
+    exch_bytes_obs = int(valid * (1 - hot_hit) * remote_frac * row_bytes)
     edges_per_s = edges_per_chip * n / dt
 
     # ---- predicted scaling from the calibrated cost model ----------------
@@ -223,6 +238,8 @@ def main():
             "frontier_rows_per_chip": valid,
             "exchange_bytes_per_chip_budget": exch_bytes_budget,
             "exchange_bytes_per_chip_expected": exch_bytes_obs,
+            "hot_hit_rate": round(hot_hit, 4),
+            "quantized": bool(args.quantize),
             "loss": float(metrics["loss"]),
             "overflow_unserved": int(metrics["overflow"]),
             "sampler_overflow": int(metrics["sampler_overflow"]),

@@ -120,8 +120,13 @@ class HostFeatureStore:
         else:
             hit = np.zeros(L, bool)
         miss_idx = np.flatnonzero(fmask_np & ~hit)
+        # lossless (round-4): the slab GROWS in pow2 buckets past the
+        # configured budget instead of dropping — the host always serves;
+        # ``overflow`` reports the beyond-budget rows (staged, not lost)
         overflow = max(0, len(miss_idx) - R)
-        miss_idx = miss_idx[:R]
+        while R < len(miss_idx):
+            R *= 2
+        R = min(R, L) if L else R
         m = len(miss_idx)
         rows = np.zeros((R, self.base.shape[1]), dtype=self.base.dtype)
         if m:

@@ -153,18 +153,26 @@ def _bwd_kernel(
                 preferred_element_type=f32,
             )
         )
-    # pass 1 over k: agg recompute, d_alpha, softmax-jacobian diagonal sum
+    # pass 1 over k: agg recompute, d_alpha, softmax-jacobian diagonal sum.
+    # d_alpha via the z-form: sum_e x_k[s,e] dagg_h[s,e] == sum_d
+    # g[s,hD+d] (x_k @ W)[s,hD+d] — one MXU matmul + one block-sum
+    # contraction per k instead of H multiply+lane-reduce trees (lane
+    # reductions measured as the bwd hot spot).
+    bsum = (
+        jax.lax.broadcasted_iota(jnp.int32, (H * D, H), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (H * D, H), 0) // D
+    ).astype(f32)
+    gf = gout.astype(f32)
     aggs = [jnp.zeros((sb, e_dim), f32) for _ in range(H)]
     dal_list = []
     T = jnp.zeros((sb, H), f32)
     for k in range(K):
         xk = xn_ref[k]
         a_k = alpha[k]
-        cols = []
         for h in range(H):
             aggs[h] = aggs[h] + a_k[:, h : h + 1] * xk
-            cols.append(jnp.sum(xk * dagg[h], axis=1, keepdims=True))
-        dal_k = jnp.concatenate(cols, axis=1)  # [S_b, H]
+        z_k = jnp.dot(xk, w, preferred_element_type=f32)  # [S_b, H*D]
+        dal_k = jnp.dot(z_k * gf, bsum, preferred_element_type=f32)
         dal_list.append(dal_k)
         T = T + a_k * dal_k
     # dW from the projections: agg_h^T @ g_h

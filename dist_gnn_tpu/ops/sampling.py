@@ -517,9 +517,17 @@ def _alias_distinct_tail(graph: Graph, start, deg, row_mask, k: int, row_key):
     """First-k-distinct successive alias draws for a (small, compacted) set
     of huge rows — elementwise lookups are fine at tail scale.  Equivalent
     in distribution to A-Res (Efraimidis–Spirakis).  Returns (ids [R, k],
-    sel [R, k], got [R, k], shortfall count)."""
+    sel [R, k], got [R, k], shortfall count).
+
+    Draw budget: tail rows have deg > 2*W2 (they fell through both window
+    levels), so collisions among T draws are rare (E[collisions] <=
+    T^2/2deg < 0.4 at T = 2k+8, deg >= 2048) — the probe_bias6 dissection
+    showed the [R, T] alias-pair fetch is SLICE-COUNT bound (~52M
+    slices/s), so halving T from the old 4k halves the tail's dominant
+    cost; the shortfall counter still guards the (astronomically rare)
+    under-draw."""
     R = start.shape[0]
-    T = 4 * k
+    T = 2 * k + 8
     nnz = max(graph.num_edges - 1, 0)
     t_iota = jax.lax.broadcasted_iota(jnp.uint32, (R, T), 1)
     bits_slot = prng.mix32(row_key[:, None] ^ prng.mix32(t_iota * jnp.uint32(2654435769)))

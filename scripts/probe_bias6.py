@@ -53,7 +53,7 @@ def main():
     seeds_np = np.asarray(arrays["indices"])[e].astype(np.int32)
     seeds = jnp.asarray(seeds_np)
 
-    def phase_ext(key):
+    def phase_ext(key, graph):
         start, deg, valid = S._row_extents(graph, seeds)
         row_key = prng.random_keys(key, (B,))
         return (jnp.sum(start) + jnp.sum(deg)).astype(jnp.float32) + jnp.sum(
@@ -61,7 +61,7 @@ def main():
         )
 
     def mk_l1_parts(stop):
-        def f(key):
+        def f(key, graph):
             start, deg, valid = S._row_extents(graph, seeds)
             row_key = prng.random_keys(key, (B,))
             num_edges = graph.num_edges
@@ -97,7 +97,7 @@ def main():
             return jnp.sum(ids).astype(jnp.float32)
         return f
 
-    def phase_l1(key):
+    def phase_l1(key, graph):
         start, deg, valid = S._row_extents(graph, seeds)
         row_key = prng.random_keys(key, (B,))
         ids1, sel1, got1, fits1 = S._gumbel_window_level(
@@ -105,7 +105,7 @@ def main():
         )
         return jnp.sum(jnp.where(got1, ids1, 0)).astype(jnp.float32)
 
-    def phase_l2(key):
+    def phase_l2(key, graph):
         start, deg, valid = S._row_extents(graph, seeds)
         row_key = prng.random_keys(key, (B,))
         ids1, sel1, got1, fits1 = S._gumbel_window_level(
@@ -124,7 +124,7 @@ def main():
             + jnp.sum(jnp.where(got2, ids2, 0)).astype(jnp.float32)
         )
 
-    def phase_full(key):
+    def phase_full(key, graph):
         nb = S.sample_biased_windowed(
             graph, seeds, K, key, window=(W1, W2), big_row_budget=(R1, R2)
         )
@@ -149,11 +149,14 @@ def main():
         ("full", phase_full),
     ]
     for name, f in phases:
-        def stepf(c, f=f):
+        # graph passed via args= — big closure constants serialize into the
+        # tunneled compile request (NOTES #8: HTTP 413 above ~250 MB)
+        def stepf(c, graph, f=f):
             key = jax.random.fold_in(jax.random.key(5), c[0].astype(jnp.int32))
-            return (c[0] * 0.5 + f(key) * 1e-20 + 1,)
+            return (c[0] * 0.5 + f(key, graph) * 1e-20 + 1,)
 
-        t = measure_op(stepf, (jnp.zeros(()),), iters=8, n_lo=2, n_hi=5)
+        t = measure_op(stepf, (jnp.zeros(()),), iters=8, n_lo=2, n_hi=5,
+                       args=(graph,))
         print(f"{name:7s}: {t*1e3:7.3f} ms", flush=True)
 
 

@@ -481,3 +481,47 @@ def test_dist_host_matches_all_hbm_reference(mesh):
     # dropout off in _loss_fn? train=True applies dropout — model built with
     # dropout=0.0 so train/eval paths agree
     np.testing.assert_allclose(float(m["loss"]), total_nll / total, rtol=2e-5)
+
+
+def test_dist_host_tiny_budget_lossless(mesh):
+    """Round-4 lossless staging: a miss_budget FAR below the actual miss
+    count must still serve every row (pow2 slab growth in stage(), host
+    re-plan in plan_hop) — losses identical to a generous-budget run."""
+    rng = np.random.default_rng(9)
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=1500, avg_degree=8, feature_dim=8, num_classes=5,
+        train_frac=0.5, seed=4,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    n = mesh.shape["data"]
+    hot = rng.permutation(1500)[: n * 16].reshape(n, 16).astype(np.int32)
+    model = SAGE(meta["feature_dim"], 16, meta["num_classes"], 2, dropout=0.0)
+    B = 16
+    seeds = arrays["train_idx"][: n * B].astype(np.int32)
+    mask = np.ones(n * B, bool)
+    batch = [(seeds, mask)]
+
+    losses = []
+    for budget in (8, 4096):  # 8 is far below the real miss count
+        from dist_gnn_tpu.parallel.host_struct import DistHostCSCStore
+
+        gstore = DistHostCSCStore(
+            hg, mesh, hot, miss_budget=budget, deg_cap=16
+        )
+        store = DistHostFeatureStore(
+            arrays["features"], mesh, hot, miss_budget=budget
+        )
+        trainer = DistHostTrainer(
+            model=model, fan_out=(4, 4), store=store, gstore=gstore,
+            dedup_last=False,
+        )
+        state = trainer.init_state(jax.random.key(2))
+        _, ms = trainer.train_batches(
+            state, None, arrays["labels"].astype(np.int32), batch,
+            jax.random.key(3),
+        )
+        losses.append(float(ms[0]["loss"]))
+        if budget == 8:
+            # beyond-budget rows were STAGED (reported, not dropped)
+            assert ms[0]["feat_overflow"] > 0 or ms[0]["struct_overflow"] > 0
+    assert abs(losses[0] - losses[1]) < 1e-5, losses

@@ -47,14 +47,21 @@ class TestHostFeatureStore:
         assert staged.count > 0
         assert store.hit_rate(frontier[fmask]) > 0
 
-    def test_miss_overflow_counted_not_silent(self):
+    def test_miss_overflow_staged_lossless(self):
+        # round-4: beyond-budget misses GROW the slab (pow2) instead of
+        # dropping — every row served, overflow reports the spill
         rng = np.random.default_rng(1)
         base = rng.standard_normal((300, 4)).astype(np.float32)
         store = HostFeatureStore(base, np.arange(10), miss_budget=5)
         frontier = rng.integers(20, 300, 40).astype(np.int32)  # all miss
         staged = store.stage(frontier, np.ones(40, bool))
-        assert staged.count == 5
+        assert staged.count == 40
         assert staged.overflow == 35
+        out = assemble_features(
+            store.hot_tier, jnp.asarray(frontier), jnp.ones(40, bool),
+            staged.rows, staged.slots,
+        )
+        np.testing.assert_allclose(np.asarray(out), base[frontier], rtol=1e-6)
 
     def test_memmap_base(self, tmp_path):
         """The base tier works from an np.memmap — nothing uploaded
