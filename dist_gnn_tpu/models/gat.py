@@ -148,8 +148,6 @@ class GAT:
             S_, k_ = block.neigh_mask.shape
             use_fused = (
                 self.use_fused
-                and not last
-                and d_out % 128 == 0
                 and d_in <= 1024
                 and k_ <= 32
                 and S_ % _block_rows(d_in) == 0
@@ -165,16 +163,39 @@ class GAT:
                 else:
                     safe = jnp.where(block.neigh_mask, block.neigh_slots, 0)
                     x_n3 = h[safe.T]  # [k, S, E] k-major gather
+                # last layer: pad the head dim to the kernel's 128-lane
+                # granularity with ZERO columns — wal/war fold only real
+                # columns, padded outputs are exactly 0 and sliced away
+                D_pad = -(-d_out // 128) * 128
+                w_k = w
+                if D_pad != d_out:
+                    w_k = jnp.concatenate(
+                        [
+                            w.reshape(d_in, H, d_out),
+                            jnp.zeros((d_in, H, D_pad - d_out), w.dtype),
+                        ],
+                        axis=2,
+                    ).reshape(d_in, H * D_pad)
                 out = gat_attention(
                     x_dst,
                     x_n3,
                     block.neigh_mask.astype(jnp.float32),
                     wal.astype(h.dtype),
                     war.astype(h.dtype),
-                    w,
+                    w_k,
                     self.negative_slope,
                     l > 0 or self.input_grad,
                 )
+                if D_pad != d_out:
+                    out = out.reshape(S_, H, D_pad)[:, :, :d_out].reshape(
+                        S_, H * d_out
+                    )
+                if last:
+                    h = out.reshape(S_, H, d_out).mean(axis=1) + p["b"].reshape(
+                        H, d_out
+                    ).mean(0)
+                    h = h.astype(x.dtype)
+                    continue
                 h = jax.nn.elu(out + p["b"])
                 if train and self.dropout > 0:
                     assert rng is not None

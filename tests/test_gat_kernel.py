@@ -98,3 +98,39 @@ def test_bf16_forward_close():
     # bf16 inputs: agreement to ~1e-2 relative
     denom = np.abs(ref32).max()
     assert np.abs(out16 - ref32).max() / denom < 0.05
+
+
+def test_fused_model_matches_reference_path_e2e():
+    """Full GAT train step with ALL layers on the fused kernel (including
+    the zero-padded last layer, d_out=7 -> D_pad=128) equals the jnp
+    reference path: same loss, same params after one Adam step."""
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.graph import HostGraph
+    from dist_gnn_tpu.models import GAT
+    from dist_gnn_tpu.training import Trainer
+
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=8000, avg_degree=10, feature_dim=64, num_classes=7,
+        train_frac=0.5, seed=0,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    graph = hg.to_device()
+    feats = jnp.asarray(arrays["features"])
+    labels = jnp.asarray(arrays["labels"])
+    kw = dict(fan_out=(4, 3), dedup_last=False, frontier_caps=(1024, 10**9))
+    tr = Trainer(model=GAT(64, 128, 7, 2, num_heads=4), **kw)
+    tr_ref = Trainer(model=GAT(64, 128, 7, 2, num_heads=4, use_fused=False), **kw)
+    st = tr.init_state(jax.random.key(0))
+    st_r = st
+    B = 256  # layer-0 S=1024 (sb 256), last layer S=256 (sb 128): all fused
+    seeds = jnp.asarray(arrays["train_idx"][:B])
+    mask = jnp.ones(B, bool)
+    st, m = tr.train_step(st, graph, feats, labels, seeds, mask, jax.random.key(1))
+    st_r, m_r = tr_ref.train_step(
+        st_r, graph, feats, labels, seeds, mask, jax.random.key(1)
+    )
+    assert abs(float(m["loss"]) - float(m_r["loss"])) < 2e-3
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st_r.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-3
+        )
