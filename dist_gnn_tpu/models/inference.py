@@ -607,8 +607,12 @@ def full_graph_inference(
         erows_p = _pad_edges(erows, edge_chunk, -1)
         eb, ec, rl = _span_chunks(np.asarray(hg.indptr), edge_chunk, span)
         eb, ec, rl = jnp.asarray(eb), jnp.asarray(ec), jnp.asarray(rl)
+        # the host arrays ride along so their id()s cannot be recycled by
+        # the allocator while this entry lives (id-keyed caches are only
+        # safe if the keyed objects are kept alive)
         _PREP_CACHE[id(hg)] = (
-            key, (indptr, indices_p, erows_p, eb, ec, rl)
+            key, (indptr, indices_p, erows_p, eb, ec, rl),
+            (hg.indptr, hg.indices),
         )
         if len(_PREP_CACHE) > 4:  # bound device memory held by old preps
             _PREP_CACHE.pop(next(iter(_PREP_CACHE)))

@@ -102,16 +102,20 @@ def _fwd_kernel(
         xd, xn_ref, mk_ref[:], wal_ref[:], war_ref[:], f32(slope), K, H
     )
     sb, e_dim = xd.shape
-    accs = [jnp.zeros((sb, e_dim), f32) for _ in range(H)]
-    for k in range(K):
-        xk = xn_ref[k]
-        a_k = alpha[k]
-        for h in range(H):
-            accs[h] = accs[h] + a_k[:, h : h + 1] * xk
+    # aggregation vectorised over the leading k-dim: one [K, S_b, E]
+    # broadcast-multiply + leading-axis reduce per head (k on the leading
+    # dim is free in the k-major layout; fewer, larger VPU ops than the
+    # K-unrolled fma loop)
+    x3 = xn_ref[:]  # [K, S_b, E]
+    alpha3 = jnp.stack(alpha, axis=0)  # [K, S_b, H]
     w = w_ref[:]
     for h in range(H):
+        agg_h = jnp.sum(
+            x3 * alpha3[:, :, h : h + 1].astype(x3.dtype), axis=0,
+            dtype=f32,
+        )
         out_ref[:, h * D : (h + 1) * D] = jnp.dot(
-            accs[h].astype(w.dtype),
+            agg_h.astype(w.dtype),
             w[:, h * D : (h + 1) * D],
             preferred_element_type=f32,
         ).astype(out_ref.dtype)

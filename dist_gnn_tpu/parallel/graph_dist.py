@@ -357,27 +357,59 @@ def sample_neighbors_sharded(
     me = jax.lax.axis_index(ax)
     L = seeds.shape[0]
     Pb = budget if budget is not None else request_budget(L, n)
-
-    plan, recv, overflow = make_request(seeds, seed_mask, ax, sgraph.shard_size, Pb)
-    # serve: sample for the requested global rows on the local sub-CSR
     base = me * sgraph.shard_size
-    req_flat = recv.reshape(-1)  # [n*Pb] global ids
-    local_rows = jnp.where(
-        req_flat == INVALID_ID, INVALID_ID, req_flat - base
-    ).astype(jnp.int32)
     lg = sgraph.local_graph(indptr_blk, indices_blk, probs_blk, alias_blk)
     # decorrelate per-owner streams
     owner_key = jax.random.fold_in(key, me)
-    # same dispatch as the single-chip sampler — the biased owner-side path
-    # takes the windowed-Gumbel fast path when window/budget are given
-    nb = sample_neighbors(
-        lg, local_rows, k, replace, owner_key,
-        window=window, big_row_budget=big_row_budget,
+
+    def one_round(pending, ids_acc, mask_acc):
+        plan, recv, _ = make_request(seeds, pending, ax, sgraph.shard_size, Pb)
+        # serve: sample for the requested global rows on the local sub-CSR
+        req_flat = recv.reshape(-1)  # [n*Pb] global ids
+        local_rows = jnp.where(
+            req_flat == INVALID_ID, INVALID_ID, req_flat - base
+        ).astype(jnp.int32)
+        # same dispatch as the single-chip sampler — the biased owner-side
+        # path takes the windowed-Gumbel fast path when window/budget given.
+        # A row's draw depends only on (row, owner_key), so spill rounds
+        # redraw identically and any seed is served exactly once.
+        nb = sample_neighbors(
+            lg, local_rows, k, replace, owner_key,
+            window=window, big_row_budget=big_row_budget,
+        )
+        served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)
+        ids_back = return_response(plan, served_ids, ax, fill=INVALID_ID)
+        served = pending & plan.in_budget  # in-budget == processed by owner
+        ids_acc = jnp.where(served[:, None], ids_back, ids_acc)
+        mask_acc = jnp.where(
+            served[:, None], ids_back != INVALID_ID, mask_acc
+        )
+        return (
+            pending & ~served, ids_acc, mask_acc,
+            jnp.asarray(nb.overflow, jnp.int32),
+        )
+
+    ids0 = jnp.full((L, k), INVALID_ID, jnp.int32)
+    mask0 = jnp.zeros((L, k), bool)
+    pending, ids_acc, mask_acc, samp_ovf = one_round(seed_mask, ids0, mask0)
+    # lossless spill (round 4): seeds beyond the per-peer budget re-ride
+    # the exchange until the psum'd pending count is zero — matches the
+    # reference's per-element peer/host sampling that serves every seed
+    # (rowwise_sampling_p2p.cu:41-92).  The returned overflow keeps the
+    # owner-side sampler's internal budget counter (big-row path) only.
+    remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), ax)
+
+    def cond(c):
+        return c[4] > 0
+
+    def body(c):
+        pending, ids_acc, mask_acc, ovf, _ = c
+        pending, ids_acc, mask_acc, ovf2 = one_round(pending, ids_acc, mask_acc)
+        rem = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), ax)
+        return pending, ids_acc, mask_acc, ovf + ovf2, rem
+
+    pending, ids_acc, mask_acc, samp_ovf, _ = jax.lax.while_loop(
+        cond, body, (pending, ids_acc, mask_acc, samp_ovf, remaining)
     )
-    served_ids = jnp.where(nb.mask, nb.ids, INVALID_ID).reshape(n, Pb, k)
-    ids_back = return_response(plan, served_ids, ax, fill=INVALID_ID)  # [L, k]
-    mask_back = ids_back != INVALID_ID
-    # fold the owner-side sampler's budget overflow (windowed big-row path)
-    # into the exchange overflow so undersized budgets stay observable
-    overflow = overflow + jnp.asarray(nb.overflow, jnp.int32)
-    return SampledNeighbors(ids=ids_back, mask=mask_back), overflow
+    overflow = samp_ovf + jnp.sum(pending.astype(jnp.int32))
+    return SampledNeighbors(ids=ids_acc, mask=mask_acc), overflow

@@ -143,3 +143,69 @@ def test_store_fetch_local_skew_lossless_with_hot_tier():
     )(store.shard_args(), jnp.asarray(ids), jnp.asarray(mask))
     assert int(unserved) == 0
     np.testing.assert_allclose(np.asarray(rows), feats[ids], rtol=1e-6)
+
+
+def test_owner_side_sampling_adversarial_skew_lossless():
+    """Sampling exchange spill rounds: all seeds owned by shard 0 with a
+    tiny per-peer budget still serve EVERY seed — the full min(deg, k)
+    neighbors each, all real in-neighbors (draws are position-keyed, so
+    bit-identity across transport layouts is not expected)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
+    from dist_gnn_tpu.graph import HostGraph
+    from dist_gnn_tpu.parallel.graph_dist import (
+        ShardedGraph,
+        sample_neighbors_sharded,
+    )
+
+    mesh = _mesh8()
+    arrays, meta = make_synthetic_dataset(
+        num_nodes=2000, avg_degree=8, feature_dim=4, num_classes=4,
+        train_frac=0.5, seed=0,
+    )
+    hg = HostGraph(indptr=arrays["indptr"], indices=arrays["indices"])
+    sg = ShardedGraph.build(hg, mesh, axis_name="data")
+    rng = np.random.default_rng(3)
+    L = 32
+    # every chip asks only for shard-0 rows
+    seeds = rng.integers(0, sg.shard_size, 8 * L).astype(np.int32)
+    mask = np.ones(8 * L, bool)
+
+    def run(budget):
+        def body(blks, s_, m_):
+            indptr_blk, indices_blk, probs_blk, hot, alias = sg.unpack(blks)
+            nb, ovf = sample_neighbors_sharded(
+                sg, indptr_blk, indices_blk, probs_blk, s_, m_, 4, False,
+                jax.random.key(7), budget=budget,
+            )
+            return nb.ids, nb.mask, jax.lax.psum(ovf, "data")
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sg.shard_specs(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P()),
+            check_vma=False,
+        )(sg.shard_args(), jnp.asarray(seeds), jnp.asarray(mask))
+
+    ids_tight, mask_tight, ovf_tight = run(4)  # per-pair load is 32
+    ids_big, mask_big, ovf_big = run(8 * L)
+    assert int(ovf_tight) == 0 and int(ovf_big) == 0
+    # every seed got its full sample in BOTH runs: per-seed counts equal
+    np.testing.assert_array_equal(
+        np.asarray(mask_tight).sum(1), np.asarray(mask_big).sum(1)
+    )
+    deg = np.diff(np.asarray(arrays["indptr"]))
+    np.testing.assert_array_equal(
+        np.asarray(mask_tight).sum(1), np.minimum(deg[seeds], 4)
+    )
+    # and every sampled id is a true in-neighbor of its seed
+    indptr_np = np.asarray(arrays["indptr"])
+    indices_np = np.asarray(arrays["indices"])
+    idt, mkt = np.asarray(ids_tight), np.asarray(mask_tight)
+    for i in range(0, len(seeds), 17):
+        nbrs = set(indices_np[indptr_np[seeds[i]] : indptr_np[seeds[i] + 1]])
+        for j in range(4):
+            if mkt[i, j]:
+                assert int(idt[i, j]) in nbrs
