@@ -127,23 +127,34 @@ def main():
     labels_padded[:N, 0] = arrays["labels"]
     labels = jax.device_put(labels_padded, NamedSharding(mesh, P(ax, None)))
 
+    # sampler knobs DERIVED from the graph (cache/autotune) — no hand
+    # constants; lossless by construction, overflow counters guard
+    from dist_gnn_tpu.cache.autotune import tune_sampler_cost
+
+    scfg, _pred = tune_sampler_cost(
+        arrays["indptr"], arrays["indices"], arrays["train_idx"], B, fan_out,
+    )
     model = SAGE(F, 256, meta["num_classes"], len(fan_out),
                  compute_dtype=jnp.bfloat16 if on_tpu else None)
     trainer = DistTrainer(
         model=model, fan_out=fan_out, store=store, dedup_last=False,
+        sampler_window=scfg.window, sampler_big_budget=scfg.big_row_budget,
+        frontier_caps=scfg.frontier_caps,
     )
     state = trainer.init_state(jax.random.key(0))
 
     world_B = B * n
     train = np.asarray(arrays["train_idx"])
     rng = np.random.default_rng(7)
-    seed_mat = rng.choice(train, size=(args.steps + 2, world_B))
+    U = 4 if on_tpu else 1  # fused sub-steps amortize per-call dispatch
+    seed_mat = rng.choice(train, size=(args.steps + 2, U, world_B))
     seeds_all = jnp.asarray(seed_mat.astype(np.int32))
-    mask = jnp.ones((world_B,), bool)
+    masks = jnp.ones((U, world_B), bool)
+    mask = masks[0]
 
     # warmup/compile
-    state, metrics = trainer.train_step(
-        state, graph, labels, seeds_all[0], mask, jax.random.key(1)
+    state, metrics = trainer.train_step_multi(
+        state, graph, labels, seeds_all[0], masks, jax.random.key(1)
     )
     jax.block_until_ready(metrics["loss"])
 
@@ -155,23 +166,25 @@ def main():
         def one(st):
             s = seeds_all[1 + ctr["i"] % args.steps]
             ctr["i"] += 1
-            st, _ = trainer.train_step(st, graph, labels, s, mask, jax.random.key(2))
+            st, _ = trainer.train_step_multi(
+                st, graph, labels, s, masks, jax.random.key(2)
+            )
             return st
 
-        dt = measure_chain(one, state, n_lo=3, n_hi=3 + args.steps, reps=2)
+        dt = measure_chain(one, state, n_lo=3, n_hi=3 + args.steps, reps=2) / U
     else:
         t0 = time.time()
         for i in range(args.steps):
-            state, metrics = trainer.train_step(
-                state, graph, labels, seeds_all[1 + i], mask, jax.random.key(2)
+            state, metrics = trainer.train_step_multi(
+                state, graph, labels, seeds_all[1 + i], masks, jax.random.key(2)
             )
         jax.block_until_ready(metrics["loss"])
-        dt = (time.time() - t0) / args.steps
+        dt = (time.time() - t0) / args.steps / U
 
     # ---- volume accounting (host-side replay of one step's sampler) ------
-    blocks, _ = sample_blocks(
-        graph, seeds_all[1][:B], mask[:B], fan_out, False, jax.random.key(2),
-        dedup_last=False,
+    blocks, bstats = sample_blocks(
+        graph, seeds_all[1][0][:B], mask[:B], fan_out, False, jax.random.key(2),
+        dedup_last=False, **scfg.sampler_kwargs(),
     )
     edges_per_chip = int(sum(int(jnp.sum(b.neigh_mask)) for b in blocks))
     L = int(blocks[-1].frontier.shape[0])
