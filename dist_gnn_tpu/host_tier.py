@@ -86,6 +86,14 @@ class HostFeatureStore:
             np.zeros((0, host_features.shape[1]), host_features.dtype)
         )
         if hot_dtype is not None:
+            # raw value cast — a float compression tier (bf16/f16).
+            # Integer dtypes would silently corrupt features; the packed
+            # int8 tier (per-row scales) lives in ops/quantize +
+            # ShardedFeatureStore(quantize=True).
+            assert np.dtype(hot_dtype).kind not in ("i", "u"), (
+                "hot_dtype is a raw cast; use the packed quantized store "
+                "for int8 (ops/quantize.py)"
+            )
             hot = np.asarray(hot).astype(hot_dtype)
         self.hot_tier = HotTier(
             sorted_ids=jnp.asarray(cache_sorted), rows=jnp.asarray(hot)

@@ -111,6 +111,12 @@ class DistHostFeatureStore:
         rows = np.asarray(host_features)[safe.reshape(-1)].reshape(n, C, F)
         rows[sorted_ids == INVALID_ID] = 0
         if hot_dtype is not None:
+            # raw value cast — float compression only (see host_tier.py);
+            # int8 needs the packed per-row-scale layout (ops/quantize)
+            assert np.dtype(hot_dtype).kind not in ("i", "u"), (
+                "hot_dtype is a raw cast; use the packed quantized store "
+                "for int8 (ops/quantize.py)"
+            )
             rows = rows.astype(hot_dtype)
         self.hot_sorted = jax.device_put(
             sorted_ids, NamedSharding(mesh, P(axn, None))
