@@ -253,6 +253,16 @@ def main():
         extras["inference_edges_per_s"] = round(
             len(fan_out) * int(meta["num_edges"]) / dt_inf, 1
         )
+        # GAT serving (attention over FULL neighborhoods, online softmax)
+        gat_p = gat.init(jax.random.key(1))
+        for rep in range(2):
+            t0 = time.time()
+            lg = full_graph_inference(gat, gat_p, hg, features)
+            device_sync(lg)
+            dt_g = time.time() - t0
+        extras["inference_gat_edges_per_s"] = round(
+            len(fan_out) * int(meta["num_edges"]) / dt_g, 1
+        )
     except Exception as e:  # noqa: BLE001
         extras["inference_error"] = f"{type(e).__name__}: {e}"[:200]
 
