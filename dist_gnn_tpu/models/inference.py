@@ -434,146 +434,138 @@ def _sum_all_edges(
 
 
 @partial(jax.jit, static_argnames=("edge_chunk", "span", "n_out", "negative_slope"))
-def _gat_ms_all_edges(
-    indices_p, erows_p, e_base, e_cnt, row_lo, el, er,
+def _gat_online_all_edges(
+    indices_p, erows_p, e_base, e_cnt, row_lo, zer, el,
     edge_chunk: int, span: int, n_out: int, negative_slope: float,
 ):
-    """GAT pass 1: final per-row softmax max ``m`` and denominator ``s``
-    over all edges, online (flash-style) per span-chunk — the rescale
-    touches only the chunk's [span+1, H] slice, never the full state."""
+    """GAT serving in ONE edge walk (round-5): online (flash-style)
+    softmax over the static span-chunk plan, carrying (m, s, acc) and
+    rescaling only the chunk's [span+1, *] slices.
+
+    The round-4 engine made TWO walks (max+denominator, then weighted
+    accumulate) with three random row gathers per chunk (er twice, z
+    once); every pass of every serving engine on this chip is bound by
+    the same ~105M rows/s gather ceiling (NOTES), so GAT served at half
+    SAGE's rate purely from walking edges twice.  This walk gathers ONE
+    combined table ``zer = [z | er]`` [N, H*d + H] per chunk (per-ROW
+    gather pricing makes the extra H columns free).
+
+    The carry is a running per-(row, head) **logsumexp** rather than the
+    textbook (max, sum) pair: the online-softmax algebra is exact for ANY
+    monotone per-row shift sequence, and ``logaddexp`` of the chunk's
+    partial lse (= chunk max + log of the one-hot weight-sum matmul the
+    accumulate needs anyway) replaces the per-row segment-max — the H
+    stacked [E, span+1] masked reduces that cost ~0.09 ms/chunk in the
+    (max, sum) form (probe_inf11: 48.1M e/s with them, see log).  The
+    final division also vanishes: weights are exp(score - lse_final), so
+    each row's weights sum to exactly 1.
+
+    Numerics caveat: partial weights are exp(score - chunk_head_max), so
+    a row whose within-chunk scores sit > ~85 (f32 exp underflow) below
+    the SAME chunk's per-head max loses that chunk's mass.  Attention
+    logits are leaky_relu'd sums of two bounded projections; an 85-logit
+    spread inside one 512-row span is far outside anything a trained GAT
+    produces (the oracle tests cover trained-scale weights).  The (max,
+    sum) form had the same failure mode one level up (its exp(score -
+    running_max) underflows identically for cross-chunk spreads).
+
+    Mid-row chunk splits are exact: ``logaddexp`` folds partial sums
+    across chunks like any other segment boundary.  Returns
+    (acc [n_out, H*d] f32 — the FINISHED weighted mean, rows with no
+    valid edges all-zero; lse [n_out, H] f32 for introspection).
+    """
+    HD_H = zer.shape[1]
     H = el.shape[1]
+    HD = HD_H - H
+    d = HD // H
     n_chunks = e_base.shape[0]
     neg = jnp.float32(-1e30)
-    # pad el so the per-chunk [span+1] slice never clamps near row N
     el = jnp.concatenate([el, jnp.zeros((span + 1, H), el.dtype)], axis=0)
+    # head→columns expander for broadcasting [*, H] factors over each
+    # head's d-block without an [*, H, d] reshape (Mosaic relayout trap)
+    expander = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+    )
 
     def body(c, carry):
-        m, s = carry
+        lse, acc = carry
         base = e_base[c]
         lo = row_lo[c]
         src = jax.lax.dynamic_slice(indices_p, (base,), (edge_chunk,))
         rows = jax.lax.dynamic_slice(erows_p, (base,), (edge_chunk,))
         valid = jnp.arange(edge_chunk, dtype=jnp.int32) < e_cnt[c]
         local = jnp.where(valid, rows - lo, span)
-        # el by chunk-local one-hot matmul (the global el[rows] gather cost
-        # ~0.16 ms/chunk; the banded [E, span+1] contraction is MXU work)
-        oh_b = local[:, None] == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
-        oh = oh_b.astype(jnp.float32)
+        # ONE one-hot band shared by every matmul, in bf16: the [E, span+1]
+        # operand reads dominate all five contractions, and 0/1 entries are
+        # exact in any dtype.  The logits already carry bf16-rounded er
+        # (zer is a bf16 table), so bf16 el/p matmuls add no new precision
+        # class; accumulation stays f32 via preferred_element_type.
+        ohb = (
+            local[:, None] == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
+        ).astype(zer.dtype)
+        zer_e = zer[src]  # the ONE random gather of this chunk
+        z_e, er_e = zer_e[:, :HD], zer_e[:, HD:]
         el_c = jax.lax.dynamic_slice(el, (lo, 0), (span + 1, H))
         el_e = jax.lax.dot_general(
-            oh, el_c.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ohb, el_c.astype(ohb.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [E, H]
         score = jax.nn.leaky_relu(
-            el_e + er[src].astype(jnp.float32), negative_slope
+            el_e + er_e.astype(jnp.float32), negative_slope
         )
         score = jnp.where(valid[:, None], score, neg)
-        # per-row max WITHOUT segment_max's scatter (~2.5 ms/chunk on TPU):
-        # masked reduce over the edge axis per head — XLA fuses the select
-        # into the reduction, no [E, span, H] intermediate
-        part_m = jnp.stack(
-            [
-                jnp.max(
-                    jnp.where(oh_b, score[:, h : h + 1], neg), axis=0
-                )
-                for h in range(H)
-            ],
-            axis=1,
+        cm = jnp.max(score, axis=0)  # [H] per-head chunk max — one cheap reduce
+        p = jnp.where(valid[:, None], jnp.exp(score - cm[None, :]), 0.0)
+        p_sum = jax.lax.dot_general(
+            ohb, p.astype(ohb.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [span+1, H]
-        cur_m = jax.lax.dynamic_slice(m, (lo, 0), (span + 1, H))
-        cur_s = jax.lax.dynamic_slice(s, (lo, 0), (span + 1, H))
-        m_new = jnp.maximum(cur_m, part_m)
-        m_e = jax.lax.dot_general(  # m_new[local], one-hot form
-            oh, m_new, (((1,), (0,)), ((), ())),
+        lse_part = jnp.where(
+            p_sum > 0, cm[None, :] + jnp.log(p_sum), neg
+        )
+        cur_lse = jax.lax.dynamic_slice(lse, (lo, 0), (span + 1, H))
+        cur_a = jax.lax.dynamic_slice(acc, (lo, 0), (span + 1, HD))
+        lse_new = jnp.logaddexp(cur_lse, lse_part)
+        # per-row factors: old-mass rescale, and the map from p (shifted
+        # by cm) to true weights exp(score - lse_new)
+        scale_old = jnp.exp(cur_lse - lse_new)  # untouched rows: exp(0)=1
+        # rows with zero in-chunk mass would give exp(cm + 1e30) = inf and
+        # 0*inf = NaN through the one-hot matmul — zero them (their edges
+        # all have p = 0 anyway).  p_sum > 0 bounds row_f <= 1/p_sum.
+        row_f = jnp.where(
+            p_sum > 0, jnp.exp(cm[None, :] - lse_new), 0.0
+        )  # [span+1, H]
+        f_e = jax.lax.dot_general(  # row_f[local], one-hot form
+            ohb, row_f.astype(ohb.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        w = jnp.where(valid[:, None], jnp.exp(score - m_e), 0.0)
-        w_sum = jax.lax.dot_general(
-            oh, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        w = p * f_e  # exp(score - lse_new)
+        # weighted message accumulate: w broadcast over each head's
+        # d-block via the expander matmul, then one-hot MXU segment-sum
+        w_exp = jax.lax.dot_general(
+            w.astype(z_e.dtype), expander.astype(z_e.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=z_e.dtype,
         )
-        s_new = cur_s * jnp.exp(cur_m - m_new) + w_sum
-        m = jax.lax.dynamic_update_slice(m, m_new, (lo, 0))
-        s = jax.lax.dynamic_update_slice(s, s_new, (lo, 0))
-        return m, s
-
-    m0 = jnp.full((n_out + span + 1, H), neg, jnp.float32)
-    s0 = jnp.zeros((n_out + span + 1, H), jnp.float32)
-    m, s = jax.lax.fori_loop(0, n_chunks, body, (m0, s0))
-    return m[:n_out], s[:n_out]
-
-
-@partial(jax.jit, static_argnames=("edge_chunk", "span", "n_out", "negative_slope"))
-def _gat_acc_all_edges(
-    indices_p, erows_p, e_base, e_cnt, row_lo, z, el, er, m, rs,
-    edge_chunk: int, span: int, n_out: int, negative_slope: float,
-):
-    """GAT pass 2: with the FINAL m and reciprocal denominator ``rs``,
-    accumulate ``sum alpha * z_src`` — one segment-sum + slice fold per
-    span chunk (the accumulator is never rescaled).  ``z`` arrives FLAT
-    [N, H*d] so the per-chunk gather/multiply stay 2-D (3-D forms forced
-    Mosaic relayouts, measured 2.2 ms/chunk)."""
-    N, HD = z.shape
-    H = el.shape[1]
-    d = HD // H
-    n_chunks = e_base.shape[0]
-    # pad per-row tables so per-chunk slices never clamp near row N
-    pad = lambda a: jnp.concatenate(
-        [a, jnp.zeros((span + 1, a.shape[1]), a.dtype)], axis=0
-    )
-    el, m, rs = pad(el), pad(m), pad(rs)
-
-    def body(c, acc):
-        base = e_base[c]
-        lo = row_lo[c]
-        src = jax.lax.dynamic_slice(indices_p, (base,), (edge_chunk,))
-        rows = jax.lax.dynamic_slice(erows_p, (base,), (edge_chunk,))
-        valid = jnp.arange(edge_chunk, dtype=jnp.int32) < e_cnt[c]
-        local = jnp.where(valid, rows - lo, span)
-        oh_b = local[:, None] == jnp.arange(span + 1, dtype=jnp.int32)[None, :]
-        # per-row tables (el, final m, 1/s) land on edges via the one-hot
-        # matmul over the chunk-local slice — no global row gathers
-        tbl = jnp.concatenate(
-            [
-                jax.lax.dynamic_slice(el, (lo, 0), (span + 1, H)).astype(jnp.float32),
-                jax.lax.dynamic_slice(m, (lo, 0), (span + 1, H)),
-                jax.lax.dynamic_slice(rs, (lo, 0), (span + 1, H)),
-            ],
-            axis=1,
-        )
-        onto = jax.lax.dot_general(
-            oh_b.astype(jnp.float32), tbl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [E, 3H]
-        el_e, m_e, rs_e = onto[:, :H], onto[:, H : 2 * H], onto[:, 2 * H :]
-        score = jax.nn.leaky_relu(
-            el_e + er[src].astype(jnp.float32), negative_slope
-        )
-        alpha = jnp.where(valid[:, None], jnp.exp(score - m_e) * rs_e, 0.0)
-        # broadcast alpha over each head's d-block via a one-hot expander
-        # matmul — the [E, H, d] reshape+broadcast form forces Mosaic
-        # relayouts (measured: pass-2 2.2 ms/chunk dominated GAT serving)
-        expander = (
-            jax.lax.broadcasted_iota(jnp.int32, (H, H * d), 1) // d
-            == jax.lax.broadcasted_iota(jnp.int32, (H, H * d), 0)
-        ).astype(z.dtype)
-        alpha_exp = jax.lax.dot_general(
-            alpha.astype(z.dtype), expander, (((1,), (0,)), ((), ())),
-            preferred_element_type=z.dtype,
-        )
-        msg = alpha_exp * z[src]
-        # one-hot MXU segment-sum (see _sum_all_edges)
+        msg = w_exp * z_e
         part = jax.lax.dot_general(
-            oh_b.astype(msg.dtype), msg, (((0,), (0,)), ((), ())),
+            ohb, msg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [span+1, HD]
+        scale_exp = jax.lax.dot_general(
+            scale_old, expander.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        cur = jax.lax.dynamic_slice(acc, (lo, 0), (span + 1, H * d))
-        return jax.lax.dynamic_update_slice(acc, cur + part, (lo, 0))
+        a_new = cur_a * scale_exp + part
+        lse = jax.lax.dynamic_update_slice(lse, lse_new, (lo, 0))
+        acc = jax.lax.dynamic_update_slice(acc, a_new, (lo, 0))
+        return lse, acc
 
-    acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((n_out + span + 1, H * d), jnp.float32)
-    )
-    return acc[:n_out].reshape(n_out, H, d)
+    l0 = jnp.full((n_out + span + 1, H), neg, jnp.float32)
+    a0 = jnp.zeros((n_out + span + 1, HD), jnp.float32)
+    lse, acc = jax.lax.fori_loop(0, n_chunks, body, (l0, a0))
+    return acc[:n_out], lse[:n_out]
 
 
 def full_graph_inference(
@@ -581,8 +573,8 @@ def full_graph_inference(
     params,
     hg: HostGraph,
     features: jnp.ndarray,
-    node_chunk: int = 512,
-    edge_chunk: int = 1 << 14,
+    node_chunk: int = 256,
+    edge_chunk: int = 1 << 13,
 ) -> jnp.ndarray:
     """Layer-wise full-neighborhood forward; returns final-layer output [N, C].
 
@@ -597,11 +589,27 @@ def full_graph_inference(
     62 destination chunks × 3 layers whose per-chunk dispatches dominated
     (~10.7M edges/s served), and avoids the full-[N] scatter-add whose
     HBM-sized output measured ~4 ms/chunk.
+
+    Round-5: GAT runs in ONE online-softmax walk (``_gat_online_all_edges``)
+    instead of two passes, all engines share a bf16 one-hot band, and the
+    default chunk plan narrowed to (256 rows, 8192 edges) — the one-hot
+    operand traffic scales with ``span`` while the row-gather floor is
+    chunking-invariant.  Measured (probe_inf11, v5e, 500k/30M bench graph):
+    SAGE 73.5 -> 79.0M, GAT 35.1 -> 56.1M edges/s; (512, 16k) and
+    (128, 4k) are both worse for both models.
     """
     N = hg.num_nodes
     nnz = int(hg.num_edges)
     span = node_chunk
     h = features
+    if nnz + edge_chunk >= 2**31:
+        # the one-program engine carries edge offsets (edge->row map,
+        # span-chunk bases) as int32; past 2.1B edges those silently wrap
+        # (ADVICE r4).  The host-resident engine below has no such limit.
+        raise NotImplementedError(
+            f"full_graph_inference: nnz={nnz} exceeds the int32 edge-offset "
+            "range; use full_graph_inference_host for >2.1B-edge graphs"
+        )
 
     # Graph-static prep (edge uploads + edge->row map + span-chunk plan)
     # is SERVING STATE: ~3 s on the tunneled backend (120 MB H2D + a host
@@ -643,15 +651,14 @@ def full_graph_inference(
             d_out, last = model.dims[l][1], model.dims[l][2]
             H = model.num_heads
             z, el, er = model._project(p, h, d_out)  # z FLAT [N, H*d]
-            m, s = _gat_ms_all_edges(
-                indices_p, erows_p, eb, ec, rl, el, er, edge_chunk, span, N,
+            # one combined source table so the walk pays ONE row gather
+            zer = jnp.concatenate([z, er.astype(z.dtype)], axis=1)
+            acc, _lse = _gat_online_all_edges(
+                indices_p, erows_p, eb, ec, rl, zer, el, edge_chunk, span, N,
                 float(model.negative_slope),
             )
-            rs = 1.0 / jnp.maximum(s, 1e-12)
-            agg = _gat_acc_all_edges(
-                indices_p, erows_p, eb, ec, rl, z, el, er, m, rs, edge_chunk,
-                span, N, float(model.negative_slope),
-            ).astype(z.dtype)
+            # weights already sum to 1 per row (lse shift) — no division
+            agg = acc.reshape(N, H, d_out).astype(z.dtype)
             h = model._combine(p, agg, d_out, last)
         elif is_gcn:
             ssum = _sum_all_edges(

@@ -30,8 +30,10 @@ projection W).
 Numerics: softmax is computed in f32 with a per-row GLOBAL max (over all
 heads' valid slots) instead of a per-(row, head) max — mathematically
 identical (the max cancels), overflow-safe, and one lane-reduction
-instead of H.  alpha stays f32 through the weighted sum (the jnp path
-casts alpha to bf16; the kernel is slightly MORE precise).
+instead of H.  The forward weighted sum casts alpha to the input dtype
+before the multiply (matching the jnp path's precision; accumulation is
+f32).  The backward recompute keeps alpha f32 through its small matmuls
+— a deliberate fwd/bwd precision asymmetry, within bf16 eps either way.
 """
 
 from __future__ import annotations

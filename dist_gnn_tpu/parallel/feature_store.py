@@ -267,7 +267,13 @@ def exchange_gather_hier(
     F = local_shard.shape[1]
 
     def one_round(pending, out):
-        owner_global = jnp.where(pending, ids // shard_size, H * D)
+        # owners are clipped like the flat path's (ADVICE r4): without it a
+        # masked-true id outside the sharded range never sets its serve
+        # flag and the lossless while_loop spins forever.  Belt-and-braces:
+        # out-of-range ids are also removed from pending before round 1.
+        owner_global = jnp.where(
+            pending, jnp.clip(ids // shard_size, 0, H * D - 1), H * D
+        )
         plan1, recv1, ovf1 = make_request(
             ids, pending, host_axis, shard_size, Bh, owners=owner_global // D
         )
@@ -305,6 +311,9 @@ def exchange_gather_hier(
 
     axes = (host_axis, data_axis)
     out0 = jnp.zeros((L, F), local_shard.dtype)
+    # ids outside the sharded table are structurally unservable: return
+    # zeros immediately instead of letting them circulate as pending
+    mask = mask & (ids >= 0) & (ids < H * D * shard_size)
     pending, out, ovf = one_round(mask, out0)
     if not lossless:
         return out, ovf

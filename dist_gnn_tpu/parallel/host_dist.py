@@ -177,7 +177,7 @@ class DistHostFeatureStore:
             miss_idx = np.flatnonzero(m & ~any_hot)
             miss_lists.append(miss_idx)
             max_miss = max(max_miss, len(miss_idx))
-        R = self.miss_budget
+        R = max(self.miss_budget, 1)  # budget=0 must still grow on misses
         while R < max_miss:
             R *= 2
         R = min(R, L) if L else R

@@ -202,7 +202,7 @@ class DistHostCSCStore:
             (m + ovf for _, _, m, ovf in results), default=0
         )
         if need > self.miss_budget:
-            budget = self.miss_budget
+            budget = max(self.miss_budget, 1)  # budget=0 must still grow
             while budget < need:
                 budget *= 2
             results = _plan_all(min(budget, L))

@@ -758,3 +758,29 @@ def test_bias_pair_combined_layout_identical():
                              window=(16, 64), big_row_budget=(512, 128))
     np.testing.assert_array_equal(np.asarray(u_pair.ids),
                                   np.asarray(u_plain.ids))
+
+
+def test_feistel_duplicate_rate_pinned():
+    """Round-4 VERDICT #8: the Feistel cycle-walk's bijectivity break is a
+    documented ~1e-3-probability semantics divergence from the reference's
+    exactly-distinct reservoir (ops/prng.feistel_permutation).  Pin the
+    rate so a permutation regression cannot silently skew sampling:
+
+    * power-of-two domain (no cycle walk): EXACTLY bijective;
+    * worst-case domain (2^n + 1, walked domain ~2d): duplicate rate over
+      the full domain stays under 1e-3 per element (theory: fallback after
+      12 walk steps fires with prob <= 2^-12 ~= 2.4e-4).
+    """
+    from dist_gnn_tpu.ops import prng
+
+    def dup_rate(d, rows):
+        j = jnp.tile(jnp.arange(d, dtype=jnp.int32)[None, :], (rows, 1))
+        key = prng.random_keys(jax.random.key(7), (rows, 1))
+        out = np.asarray(prng.feistel_permutation(j, jnp.int32(d), key))
+        assert out.min() >= 0 and out.max() < d
+        dups = sum(d - len(np.unique(out[r])) for r in range(rows))
+        return dups / (rows * d)
+
+    assert dup_rate(1024, 64) == 0.0  # exact bijection, no walk
+    rate = dup_rate(1025, 512)  # worst-case walked domain
+    assert rate < 1e-3, f"duplicate rate {rate} regressed past the 1e-3 bound"
