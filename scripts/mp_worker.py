@@ -7,8 +7,15 @@ Driven by tests/test_multiprocess.py, which compares the per-step losses
 against the identical single-process (2, 4)-mesh run.
 
 Usage:
-  python scripts/mp_worker.py OUT_JSON PORT NUM_PROCESSES PROCESS_ID [TIER]
+  python scripts/mp_worker.py OUT_JSON PORT NUM_PROCESSES PROCESS_ID \
+      [TIER] [MESH_HOSTS]
   python scripts/mp_worker.py OUT_JSON 0 0 0        # single-process mode
+
+MESH_HOSTS (default 2) sets the host-axis size of the ('host', 'data')
+mesh over the 8 global devices — 2 gives the (2, 4) mesh, 4 the (4, 2)
+one (round-4 VERDICT #5: ≥4 OS ranks).  The single-process reference for
+a cluster run must pass the same MESH_HOSTS so the collective layouts
+match.
 
 TIER selects the data plane: "hbm" (default — all-HBM DistTrainer) or
 "dist-host" (the flagship composition: host-RAM-resident features AND
@@ -36,6 +43,7 @@ def main() -> None:
     out_path = sys.argv[1]
     port, num_procs, pid = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
     tier = sys.argv[5] if len(sys.argv) > 5 else "hbm"
+    mesh_hosts = int(sys.argv[6]) if len(sys.argv) > 6 else 2
 
     from dist_gnn_tpu.parallel.mesh import (
         initialize_cpu_cluster,
@@ -62,7 +70,7 @@ def main() -> None:
     from dist_gnn_tpu.parallel import DistTrainer, ShardedFeatureStore, make_mesh
     from dist_gnn_tpu.parallel.graph_dist import ShardedGraph
 
-    mesh = make_mesh(axis_names=("host", "data"), hosts=2)
+    mesh = make_mesh(axis_names=("host", "data"), hosts=mesh_hosts)
     ax = ("host", "data")
 
     # identical deterministic dataset on every process

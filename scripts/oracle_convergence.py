@@ -91,7 +91,9 @@ def sample_blocks(seeds):
         slots = order[inv[len(cur):]].reshape(nbr.shape)
         blocks.append((len(cur), slots, mask))
         cur = new_frontier
-    return blocks[::-1], cur  # innermost-first for the forward loop
+    # blocks are in SAMPLING order (innermost hop first); forward() walks
+    # them reversed so layer 0 consumes the outermost frontier's features
+    return blocks, cur
 
 
 class TorchSAGE(torch.nn.Module):

@@ -75,3 +75,22 @@ def test_launcher_short_train_split_pads():
     )
     assert rc == 0, f"launcher failed:\n{out[-3000:]}\n{err[-2000:]}"
     assert "epoch 0:" in out and "done" in out, out[-2000:]
+
+
+def test_launcher_four_process_cluster():
+    """Round-4 VERDICT #5: the torchrun-analog launcher at 4 OS ranks
+    (reference N-rank bootstrap, ``node_classification_dist.py:305-306``)
+    on a (4, 2) mesh with 2 local devices per process."""
+    rc, out, err = _run_launcher(
+        [
+            "--procs", "4", "--devices-per-process", "2",
+            "--epochs", "1",
+            "--num-nodes", "1500", "--avg-degree", "8",
+            "--feature-dim", "16", "--batch-size", "64",
+            "--hidden", "16", "--fan-out", "4,4",
+        ],
+        timeout=680,
+    )
+    assert rc == 0, f"launcher failed:\n{out[-3000:]}\n{err[-2000:]}"
+    assert "mesh={'host': 4, 'data': 2}" in out, out[-2000:]
+    assert "epoch 0:" in out and "done" in out, out[-2000:]

@@ -44,11 +44,11 @@ def _clean_env() -> dict:
     return env
 
 
-def _run_worker(out_path, port, num_procs, pid, env, tier="hbm"):
+def _run_worker(out_path, port, num_procs, pid, env, tier="hbm", hosts=2):
     return subprocess.Popen(
         [
             sys.executable, WORKER, out_path, str(port), str(num_procs),
-            str(pid), tier,
+            str(pid), tier, str(hosts),
         ],
         env=env,
         stdout=subprocess.PIPE,
@@ -148,3 +148,43 @@ def test_two_process_cluster_dist_host_tier(tmp_path):
         ranks[0]["losses"], ref["losses"], rtol=2e-5, atol=1e-6
     )
     np.testing.assert_allclose(ranks[0]["accs"], ref["accs"], rtol=0, atol=1e-6)
+
+
+def test_four_process_cluster_matches_single_process(tmp_path):
+    """Round-4 VERDICT #5: ≥4 OS ranks on a (4, 2) mesh — shakes out
+    rank-count-dependent bugs the 2-process test cannot (gloo rendezvous
+    with 4 participants, 2-device-per-process shardings, per-rank
+    determinism of host-side builds, hier-exchange budgets on a host axis
+    of 4).  Losses must equal the identical single-process (4, 2) run."""
+    env = _clean_env()
+    port = _free_port()
+
+    outs = [str(tmp_path / f"r4_rank{i}.json") for i in range(4)]
+    procs = [
+        _run_worker(outs[i], port, 4, i, env, hosts=4) for i in range(4)
+    ]
+    logs = _communicate(procs)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-3000:]}"
+    ranks = [json.load(open(o)) for o in outs]
+
+    for r in ranks:
+        assert r["process_count"] == 4, r
+        assert r["global_devices"] == 8 and r["local_devices"] == 2, r
+        assert np.all(np.isfinite(r["losses"])), r
+    for r in ranks[1:]:
+        assert r["losses"] == ranks[0]["losses"]
+        assert r["accs"] == ranks[0]["accs"]
+        assert r["eval_correct"] == ranks[0]["eval_correct"]
+
+    ref_out = str(tmp_path / "r4_single.json")
+    p = _run_worker(ref_out, 0, 0, 0, env, hosts=4)
+    log = _communicate([p])[0]
+    assert p.returncode == 0, f"single-process reference failed:\n{log[-3000:]}"
+    ref = json.load(open(ref_out))
+    np.testing.assert_allclose(
+        ranks[0]["losses"], ref["losses"], rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(ranks[0]["accs"], ref["accs"], rtol=0, atol=1e-6)
+    assert ranks[0]["eval_total"] == ref["eval_total"]
+    assert ranks[0]["eval_correct"] == ref["eval_correct"]
