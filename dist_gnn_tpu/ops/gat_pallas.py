@@ -1,4 +1,4 @@
-"""Fused Pallas GAT layer: SDDMM + edge-softmax + aggregate + project.
+"""Fused Pallas GAT layer: edge-softmax + aggregate + project.
 
 The round-3 roofline study (NOTES, ``scripts/probe_gat1.py``) showed the
 jnp GAT layer-0 at 4.7 ms value_and_grad vs a ~0.6 ms traffic+FLOP
@@ -10,16 +10,25 @@ weighted sum.  This kernel is the designed fix:
 * **k-major neighbor layout** ``x_n[K, S, E]`` — per-k slices are
   contiguous ``[S_b, E]`` VMEM tiles with E on lanes (full VPU width) and
   S_b on sublanes.  The dedup-free first hop emits this layout natively
-  (``sampler._no_dedup_block``), so layer 0 pays zero transposes.
-* scores/softmax as K-unrolled ``[S_b, H]`` ops — tiny tensors, the only
-  H-on-lanes work left (~1.3 us/block).
-* aggregation = K*H column-broadcast FMAs ``acc_h += alpha[:, h:h+1] * x_k``
-  (alpha broadcast along lanes, the same shape flash-attention uses for
-  its softmax rescale), never materializing ``[S, K, H]`` or ``[S*K, H*D]``.
-* per-head projection ``agg_h @ W_h`` on the MXU inside the same kernel.
-* custom VJP: the backward kernel recomputes el/er/alpha from x (cheap
-  small matmuls) instead of saving any ``[S, K, *]`` residual, and
-  accumulates dW/dwal/dwar across the grid in revisited f32 VMEM blocks.
+  (``sampler._no_dedup_block``); deduped upper hops reach it through the
+  k-major ``h[slots.T]`` gather shim in ``models/gat.py``.
+* **SDDMM halves el/er are computed OUTSIDE the kernel** (round 5): two
+  big XLA matmuls (``x_dst @ wal``, ``[K*S, E] @ war``) instead of
+  1 + K tiny ``[S_b, E] x [E, H]`` MXU ops per grid step inside both the
+  forward and the backward recompute — the K-unrolled score chain's
+  per-op overhead was the measured gap to the forward roofline
+  (NOTES round-4: fwd 0.68 vs ~0.35 ms).  The custom-VJP boundary moves
+  inward accordingly: the kernel emits ``d_el``/``d_er3`` and plain
+  autodiff of the outer matmuls yields the ``wal``/``war`` (and er-path
+  input) gradients as two more big MXU contractions.
+* scores/softmax as K-unrolled ``[S_b, H]`` adds/selects — tiny, and now
+  matmul-free.
+* aggregation = K*H column-broadcast FMAs, never materializing
+  ``[S, K, H]`` or ``[S*K, H*D]``; per-head projection ``agg_h @ W_h`` on
+  the MXU inside the same kernel.
+* backward recomputes alpha from el/er3 (cheap, matmul-free) instead of
+  saving any ``[S, K, *]`` residual; dW accumulates across the grid in a
+  revisited f32 VMEM block; ``d_el``/``d_er3`` are per-block outputs.
 
 Reference parity: this owns the math the reference delegates to DGL's
 SpMM/SDDMM (``/root/reference/example/graphsage/utils/models.py:25-55``);
@@ -30,21 +39,18 @@ projection W).
 Numerics: softmax is computed in f32 with a per-row GLOBAL max (over all
 heads' valid slots) instead of a per-(row, head) max — mathematically
 identical (the max cancels), overflow-safe, and one lane-reduction
-instead of H.  The forward weighted sum casts alpha to the input dtype
-before the multiply (matching the jnp path's precision; accumulation is
-f32).  The backward recompute keeps alpha f32 through its small matmuls
-— a deliberate fwd/bwd precision asymmetry, within bf16 eps either way.
+instead of H.  el/er3 are f32 (the outer dots accumulate f32).  The
+forward weighted sum casts alpha to the input dtype before the multiply
+(matching the jnp path's precision; accumulation is f32).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
@@ -61,20 +67,19 @@ def _block_rows(e_dim: int) -> int:
     return 64
 
 
-def _score_chain(xd, xn_ref, mk, wal, war, slope, K: int, H: int):
+def _score_chain(el, er_ref, mk, slope, K: int):
     """Shared fwd/bwd recompute: per-k scores -> masked softmax pieces.
 
-    Returns (pre_list, alpha_list) with pre_k the pre-LeakyReLU logits
-    (needed for the slope select in bwd) and alpha_k the [S_b, H] f32
-    attention weights (masked slots exactly 0).
+    ``el`` [S_b, H] f32 and ``er_ref`` [K, S_b, H] f32 are PRECOMPUTED
+    (outer matmuls) — the chain is adds/selects/exps only.  Returns
+    (pre_list, alpha_list); alpha_k is [S_b, H] f32, masked slots exactly
+    0.
     """
     f32 = jnp.float32
-    el = jnp.dot(xd, wal, preferred_element_type=f32)  # [S_b, H]
     neg = f32(-1e30)
     pre_list, s_list = [], []
     for k in range(K):
-        er = jnp.dot(xn_ref[k], war, preferred_element_type=f32)
-        pre = el + er
+        pre = el + er_ref[k]
         s = jnp.where(pre >= 0, pre, pre * slope)
         s = jnp.where(mk[:, k : k + 1] > 0, s, neg)
         pre_list.append(pre)
@@ -91,19 +96,15 @@ def _score_chain(xd, xn_ref, mk, wal, war, slope, K: int, H: int):
         den = den + e
     rden = 1.0 / jnp.maximum(den, 1e-12)
     alpha_list = [e * rden for e in e_list]
-    return el, pre_list, alpha_list
+    return pre_list, alpha_list
 
 
 def _fwd_kernel(
-    xd_ref, xn_ref, mk_ref, wal_ref, war_ref, w_ref, out_ref,
+    xn_ref, el_ref, er_ref, mk_ref, w_ref, out_ref,
     *, K: int, H: int, D: int, slope: float,
 ):
     f32 = jnp.float32
-    xd = xd_ref[:]
-    _, _, alpha = _score_chain(
-        xd, xn_ref, mk_ref[:], wal_ref[:], war_ref[:], f32(slope), K, H
-    )
-    sb, e_dim = xd.shape
+    _, alpha = _score_chain(el_ref[:], er_ref, mk_ref[:], f32(slope), K)
     # aggregation vectorised over the leading k-dim: one [K, S_b, E]
     # broadcast-multiply + leading-axis reduce per head (k on the leading
     # dim is free in the k-major layout; fewer, larger VPU ops than the
@@ -124,8 +125,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    xd_ref, xn_ref, mk_ref, wal_ref, war_ref, w_ref, g_ref,
-    dwal_ref, dwar_ref, dw_ref, dxd_ref, dxn_ref,
+    xn_ref, el_ref, er_ref, mk_ref, w_ref, g_ref,
+    dw_ref, del_ref, der_ref, dxn_ref,
     *, K: int, H: int, D: int, slope: float, need_dx: bool,
 ):
     f32 = jnp.float32
@@ -133,18 +134,14 @@ def _bwd_kernel(
 
     @pl.when(i == 0)
     def _init():
-        dwal_ref[:] = jnp.zeros(dwal_ref.shape, dwal_ref.dtype)
-        dwar_ref[:] = jnp.zeros(dwar_ref.shape, dwar_ref.dtype)
         dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    xd = xd_ref[:]
-    wal = wal_ref[:]
-    war = war_ref[:]
     w = w_ref[:]
-    _, pre_list, alpha = _score_chain(
-        xd, xn_ref, mk_ref[:], wal, war, f32(slope), K, H
+    pre_list, alpha = _score_chain(
+        el_ref[:], er_ref, mk_ref[:], f32(slope), K
     )
-    sb, e_dim = xd.shape
+    sb = el_ref.shape[0]
+    e_dim = xn_ref.shape[2]
     gout = g_ref[:]
     # d_agg_h = g_h @ W_h^T  (MXU, transposed operand)
     dagg = []
@@ -188,47 +185,27 @@ def _bwd_kernel(
             (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-    # pass 2 over k: softmax/leaky backward, d_x_n, d_war
+    # pass 2 over k: softmax/leaky backward -> d_pre per k (= d_er3 block),
+    # accumulated into d_el; alpha-path d_x_n when requested
     del_acc = jnp.zeros((sb, H), f32)
-    dwar_acc = jnp.zeros_like(dwar_ref)
     for k in range(K):
         a_k = alpha[k]
         d_s = a_k * (dal_list[k] - T)
         sl = jnp.where(pre_list[k] >= 0, f32(1.0), f32(slope))
         d_pre = d_s * sl  # masked slots: a_k = 0 -> d_s = 0
         del_acc = del_acc + d_pre
-        xk = xn_ref[k]
-        dwar_acc = dwar_acc + jax.lax.dot_general(
-            xk, d_pre.astype(xk.dtype),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
+        der_ref[k] = d_pre.astype(der_ref.dtype)
         if need_dx:
-            dxn = jax.lax.dot_general(
-                d_pre.astype(war.dtype), war,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )
+            dxn = jnp.zeros((sb, e_dim), f32)
             for h in range(H):
                 dxn = dxn + a_k[:, h : h + 1] * dagg[h]
             dxn_ref[k] = dxn.astype(dxn_ref.dtype)
-    dwar_ref[:] += dwar_acc
-    dwal_ref[:] += jax.lax.dot_general(
-        xd, del_acc.astype(xd.dtype),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    if need_dx:
-        dxd_ref[:] = jax.lax.dot_general(
-            del_acc.astype(wal.dtype), wal,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(dxd_ref.dtype)
+    del_ref[:] = del_acc.astype(del_ref.dtype)
 
 
-def _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope: float):
+def _fwd_call(x_n, el, er3, mask_f, w, slope: float):
     K, S, E = x_n.shape
-    H = wal.shape[1]
+    H = el.shape[1]
     D = w.shape[1] // H
     sb = _block_rows(E)
     assert S % sb == 0, (S, sb)
@@ -238,22 +215,21 @@ def _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope: float):
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((sb, E), lambda i: (i, 0)),
             pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((sb, H), lambda i: (i, 0)),
+            pl.BlockSpec((K, sb, H), lambda i: (0, i, 0)),
             pl.BlockSpec((sb, K), lambda i: (i, 0)),
-            pl.BlockSpec((E, H), lambda i: (0, 0)),
-            pl.BlockSpec((E, H), lambda i: (0, 0)),
             pl.BlockSpec((E, H * D), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((sb, H * D), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((S, H * D), x_dst.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, H * D), x_n.dtype),
         interpret=_interpret(),
-    )(x_dst, x_n, mask_f, wal, war, w)
+    )(x_n, el, er3, mask_f, w)
 
 
-def _bwd_call(x_dst, x_n, mask_f, wal, war, w, g, slope: float, need_dx: bool):
+def _bwd_call(x_n, el, er3, mask_f, w, g, slope: float, need_dx: bool):
     K, S, E = x_n.shape
-    H = wal.shape[1]
+    H = el.shape[1]
     D = w.shape[1] // H
     # half the forward block: the backward body keeps ~2x the live values
     # (dagg/aggs/dal lists + d_x slabs) and 256-row blocks overflow the
@@ -263,51 +239,75 @@ def _bwd_call(x_dst, x_n, mask_f, wal, war, w, g, slope: float, need_dx: bool):
     kern = functools.partial(
         _bwd_kernel, K=K, H=H, D=D, slope=slope, need_dx=need_dx
     )
-    acc = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
-    out_shape = [acc((E, H)), acc((E, H)), acc((E, H * D))]
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((E, H * D), f32),  # dw (grid-accumulated)
+        jax.ShapeDtypeStruct((S, H), f32),  # d_el
+        jax.ShapeDtypeStruct((K, S, H), f32),  # d_er3
+    ]
     out_specs = [
-        pl.BlockSpec((E, H), lambda i: (0, 0)),
-        pl.BlockSpec((E, H), lambda i: (0, 0)),
         pl.BlockSpec((E, H * D), lambda i: (0, 0)),
+        pl.BlockSpec((sb, H), lambda i: (i, 0)),
+        pl.BlockSpec((K, sb, H), lambda i: (0, i, 0)),
     ]
     if need_dx:
-        out_shape += [
-            jax.ShapeDtypeStruct((S, E), x_dst.dtype),
-            jax.ShapeDtypeStruct((K, S, E), x_n.dtype),
-        ]
-        out_specs += [
-            pl.BlockSpec((sb, E), lambda i: (i, 0)),
-            pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
-        ]
+        out_shape.append(jax.ShapeDtypeStruct((K, S, E), x_n.dtype))
+        out_specs.append(pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)))
     else:
-        # dummy 1-row outputs so the kernel arity is static; never read
-        out_shape += [
-            jax.ShapeDtypeStruct((sb, E), x_dst.dtype),
-            jax.ShapeDtypeStruct((K, sb, E), x_n.dtype),
-        ]
-        out_specs += [
-            pl.BlockSpec((sb, E), lambda i: (0, 0)),
-            pl.BlockSpec((K, sb, E), lambda i: (0, 0, 0)),
-        ]
+        # dummy 1-block output so the kernel arity is static; never read
+        out_shape.append(jax.ShapeDtypeStruct((K, sb, E), x_n.dtype))
+        out_specs.append(pl.BlockSpec((K, sb, E), lambda i: (0, 0, 0)))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((sb, E), lambda i: (i, 0)),
             pl.BlockSpec((K, sb, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((sb, H), lambda i: (i, 0)),
+            pl.BlockSpec((K, sb, H), lambda i: (0, i, 0)),
             pl.BlockSpec((sb, K), lambda i: (i, 0)),
-            pl.BlockSpec((E, H), lambda i: (0, 0)),
-            pl.BlockSpec((E, H), lambda i: (0, 0)),
             pl.BlockSpec((E, H * D), lambda i: (0, 0)),
             pl.BlockSpec((sb, H * D), lambda i: (i, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(x_dst, x_n, mask_f, wal, war, w, g)
+    )(x_n, el, er3, mask_f, w, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gat_core(x_n, el, er3, mask_f, w, slope: float, need_dx: bool):
+    """Softmax+aggregate+project over precomputed SDDMM halves.
+
+    The VJP returns (alpha-path d_x_n, d_el, d_er3, 0, dW); the el/er3
+    producers outside differentiate normally, so ``wal``/``war`` and the
+    er-path input gradients are ordinary XLA matmuls."""
+    return _fwd_call(x_n, el, er3, mask_f, w, slope)
+
+
+def _core_fwd(x_n, el, er3, mask_f, w, slope, need_dx):
+    out = _fwd_call(x_n, el, er3, mask_f, w, slope)
+    return out, (x_n, el, er3, mask_f, w)
+
+
+def _core_bwd(slope, need_dx, res, g):
+    x_n, el, er3, mask_f, w = res
+    dw, del_, der3, dxn = _bwd_call(
+        x_n, el, er3, mask_f, w, g, slope, need_dx
+    )
+    if not need_dx:
+        dxn = jnp.zeros_like(x_n)
+    return (
+        dxn,
+        del_.astype(el.dtype),
+        der3.astype(er3.dtype),
+        jnp.zeros_like(mask_f),
+        dw.astype(w.dtype),
+    )
+
+
+_gat_core.defvjp(_core_fwd, _core_bwd)
+
+
 def gat_attention(x_dst, x_n, mask_f, wal, war, w, slope: float, need_dx: bool):
     """Fused GAT attention layer over one sampled hop.
 
@@ -321,38 +321,24 @@ def gat_attention(x_dst, x_n, mask_f, wal, war, w, slope: float, need_dx: bool):
       w:      [E, H*D] shared projection (compute dtype).
       slope:  LeakyReLU negative slope (static).
       need_dx: static; False lets layer-0 (features input) skip the d_x
-              computation and its [K, S, E] HBM write entirely.
+              computation entirely (inputs are stop_gradient'ed, so BOTH
+              the kernel's alpha path and the outer er-path pullback
+              vanish — grads wrt x_dst/x_n are exactly zero).
 
     Returns [S, H*D]: per-head outputs concatenated on the feature axis
-    (head h occupies columns [h*D, (h+1)*D)), in x_dst.dtype.
+    (head h occupies columns [h*D, (h+1)*D)), in x_n.dtype.
     """
-    return _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope)
-
-
-def _gat_fwd(x_dst, x_n, mask_f, wal, war, w, slope, need_dx):
-    out = _fwd_call(x_dst, x_n, mask_f, wal, war, w, slope)
-    return out, (x_dst, x_n, mask_f, wal, war, w)
-
-
-def _gat_bwd(slope, need_dx, res, g):
-    x_dst, x_n, mask_f, wal, war, w = res
-    dwal, dwar, dw, dxd, dxn = _bwd_call(
-        x_dst, x_n, mask_f, wal, war, w, g, slope, need_dx
-    )
+    K, S, E = x_n.shape
+    H = wal.shape[1]
     if not need_dx:
-        dxd = jnp.zeros_like(x_dst)
-        dxn = jnp.zeros_like(x_n)
-    return (
-        dxd,
-        dxn,
-        jnp.zeros_like(mask_f),
-        dwal.astype(wal.dtype),
-        dwar.astype(war.dtype),
-        dw.astype(w.dtype),
-    )
-
-
-gat_attention.defvjp(_gat_fwd, _gat_bwd)
+        x_dst = jax.lax.stop_gradient(x_dst)
+        x_n = jax.lax.stop_gradient(x_n)
+    # SDDMM halves as two big MXU matmuls (f32 accumulation)
+    el = jnp.dot(x_dst, wal, preferred_element_type=jnp.float32)
+    er3 = jnp.dot(
+        x_n.reshape(K * S, E), war, preferred_element_type=jnp.float32
+    ).reshape(K, S, H)
+    return _gat_core(x_n, el, er3, mask_f, w, slope, need_dx)
 
 
 def gat_attention_reference(x_dst, x_n, mask_f, wal, war, w, slope):

@@ -85,6 +85,31 @@ class ShardedGraph:
 
         return tuple(P(self.axis_name, None) for _ in self.shard_args())
 
+    def local_cached_structure_tensors(self, chip: int):
+        """Introspection: chip ``chip``'s hot-tier sub-structure as
+        ``(sub_indptr, sub_indices, sub_probs-or-None)`` — parity with the
+        reference's ``P2PCacheSampler::GetLocalCachedStructureTensors``
+        (``src/sampling/sampler.cc:179-189``).  Returns ``None`` when no
+        hot tier was built."""
+        if self.hot_sorted is None:
+            return None
+        probs = self.hot_probs[chip] if self.hot_probs is not None else None
+        return self.hot_indptr[chip], self.hot_indices[chip], probs
+
+    def local_cached_routing_tensors(self, chip: int):
+        """Introspection: chip ``chip``'s id→slot routing table — parity
+        with ``P2PCacheSampler::GetLocalCachedHashTensors``
+        (``src/sampling/sampler.cc:191-196``).  The reference returns the
+        open-addressing ``(key, idx, devid)`` triple; the TPU design's
+        routing structure is the sorted hot-id table itself (slot =
+        ``searchsorted(sorted_ids, nid)``, owner = the table's chip
+        index), so this returns that [C] sorted array (INVALID-padded
+        tail).  For the cross-chip union tables see
+        ``parallel.feature_store.build_union_tables``."""
+        if self.hot_sorted is None:
+            return None
+        return self.hot_sorted[chip]
+
     def unpack(self, blks):
         """Split the per-chip shard_map blocks back into named pieces."""
         blks = list(blks)

@@ -268,6 +268,17 @@ class NeighborSampler:
     big_row_budget: Optional[int] = None
     window_min_slots: int = 65536
 
+    def structure_tensors(self):
+        """Introspection: the base structure this sampler draws from, as
+        ``(indptr, indices, probs-or-None)`` — parity with the reference's
+        ``P2PCacheSampler::GetCPUStructureTensors``
+        (``src/sampling/sampler.cc:168-177``, used by its
+        ``tests/test_build_sampler.py:34-44``).  On the single-chip
+        sampler the "cache" IS the HBM-resident graph, so the cached- and
+        base-structure getters coincide; the sharded/hot-tier getters live
+        on ``parallel.graph_dist.ShardedGraph``."""
+        return self.graph.indptr, self.graph.indices, self.graph.probs
+
     def sample(self, seeds, seed_mask, key):
         """Returns ``(blocks, stats)`` — see :func:`sample_blocks`."""
         return sample_blocks(

@@ -168,7 +168,7 @@ def test_all_bench_layers_take_fused_path():
     orig = gat_pallas._fwd_call
 
     def counting(*a, **kw):
-        calls.append(a[1].shape)  # x_n [K, S, E]
+        calls.append(a[0].shape)  # x_n [K, S, E]
         return orig(*a, **kw)
 
     gat_pallas._fwd_call = counting

@@ -123,3 +123,48 @@ def test_dist_trainer_dedup_free_last_hop(mesh):
         )
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_introspection_getters(mesh):
+    """Parity with the reference sampler's introspection getters
+    (``src/sampling/sampler.cc:168-196``, exercised by its
+    ``tests/test_build_sampler.py:34-44``): the base structure, the
+    per-chip cached sub-structure, and the routing table are reachable
+    through documented methods and agree with the host graph."""
+    rng = np.random.default_rng(5)
+    N, E = 500, 4000
+    hg = HostGraph.from_coo(
+        rng.integers(0, N, E), rng.integers(0, N, E), N,
+        probs=np.abs(rng.standard_normal(E)).astype(np.float32),
+    )
+    n = mesh.devices.size
+    hot = rng.permutation(N)[: n * 16].reshape(n, 16).astype(np.int32)
+    sg = ShardedGraph.build(hg, mesh, hot_ids=hot)
+
+    # single-chip sampler: base structure getter
+    from dist_gnn_tpu.sampler import NeighborSampler
+
+    graph = hg.to_device()
+    ns = NeighborSampler(graph, fan_out=(3, 3))
+    ip, ix, pr = ns.structure_tensors()
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(hg.indptr))
+    # device indices are padded past nnz — the valid prefix is the graph
+    np.testing.assert_array_equal(
+        np.asarray(ix)[: hg.num_edges], np.asarray(hg.indices)
+    )
+    assert pr is not None
+
+    # sharded hot tier: per-chip cached sub-structure + routing table
+    for c in (0, n - 1):
+        got = sg.local_cached_structure_tensors(c)
+        assert got is not None
+        sub_ip, sub_ix, sub_pr = got
+        route = np.asarray(sg.local_cached_routing_tensors(c))
+        ids_c = np.sort(hot[c])
+        valid = route < np.iinfo(np.int32).max
+        np.testing.assert_array_equal(route[valid][: len(ids_c)], ids_c)
+        # sub-CSR degrees must match the host graph's for the cached ids
+        deg_host = np.diff(np.asarray(hg.indptr))[ids_c]
+        deg_sub = np.diff(np.asarray(sub_ip))[: len(ids_c)]
+        np.testing.assert_array_equal(deg_sub, deg_host)
+        assert sub_pr is not None and sub_ix.shape == sub_pr.shape
