@@ -237,6 +237,11 @@ def main():
 
         def model_phase(c, params, blks, feats, lab, mk):
             rng = jax.random.fold_in(jax.random.key(9), c[0].astype(jnp.int32))
+            # scale feats by the carry so NO forward op is loop-invariant —
+            # with only the rng dependence XLA hoists the layer-0
+            # aggregation out of the fori and the phase under-measures
+            # (probe_gat6: SAGE 0.88 "hoisted" vs 2.18 ms honest)
+            feats = feats * (1 + c[0] * 1e-9).astype(feats.dtype)
             (loss, _), grads = jax.value_and_grad(
                 trainer._loss_fn, has_aux=True
             )(params, blks, feats, lab, mk, rng)
@@ -451,6 +456,13 @@ def main():
         extras["host_tier_stage_mb_s"] = round(
             miss_rows * feats_host.shape[1] * 4 / dt_ht / 2**20, 1
         )
+        # On this environment the TPU is reached through a network tunnel
+        # whose host→device path measures ~20-50 MB/s (NOTES: 120 MB
+        # jnp.asarray ≈ 2.5 s), so the staged tier is transport-bound
+        # here — the stage_mb_s number IS that tunnel, not the design
+        # (real PCIe/DMA is ~3 orders faster; the pipelining itself is
+        # validated by scripts/bench_host_tier.py's overlap measurement).
+        extras["host_tier_h2d_tunnel_limited"] = True
     except Exception as e:  # noqa: BLE001
         extras["host_tier_error"] = f"{type(e).__name__}: {e}"[:200]
 
