@@ -281,7 +281,10 @@ def main():
             )
             return s2
 
-        dt_x = measure_chain(one, state_x, n_lo=3, n_hi=9, reps=2) / UNROLL
+        # headline-depth sampling: min-of-reps only escapes a transiently
+        # slow chip window if there are enough samples (GAT step variance
+        # is ~±1 ms run-to-run on this shared chip, NOTES round-5)
+        dt_x = measure_chain(one, state_x, n_lo=4, n_hi=16, reps=3) / UNROLL
         blocks_x, _ = sample_blocks(
             graph_x, seeds, mask, fan_out, False, jax.random.key(7),
             dedup_last=False, **knobs,
