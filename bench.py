@@ -231,7 +231,6 @@ def main():
             args=(features, frontier_ids),
         )
 
-        in_mask = blocks[-1].frontier_mask
         feats_fixed = features[frontier_ids]
         batch_labels = jnp.where(mask, labels[jnp.where(mask, seeds, 0)], 0)
 
@@ -240,7 +239,10 @@ def main():
             # scale feats by the carry so NO forward op is loop-invariant —
             # with only the rng dependence XLA hoists the layer-0
             # aggregation out of the fori and the phase under-measures
-            # (probe_gat6: SAGE 0.88 "hoisted" vs 2.18 ms honest)
+            # (probe_gat6: SAGE 0.88 "hoisted" vs 2.18 ms honest).
+            # No invalid-row zeroing here: the trainer runs with the
+            # default zero_invalid_rows=False (consumers mask internally),
+            # so the phase mirrors the step program exactly.
             feats = feats * (1 + c[0] * 1e-9).astype(feats.dtype)
             (loss, _), grads = jax.value_and_grad(
                 trainer._loss_fn, has_aux=True
@@ -312,62 +314,85 @@ def main():
     except Exception as e:  # noqa: BLE001 — secondary metrics never break the bench
         extras["bias_alias_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
+        # GAT: measure BOTH the fused-Pallas-kernel and the jnp
+        # aggregate-then-project configs and report the winner.  The
+        # kernel wins every isolated-layer measurement (NOTES round-4/5)
+        # but pallas calls are opaque to XLA's cross-step scheduler, and
+        # an interleaved step-level A/B (3 alternating rounds) measured
+        # the jnp path consistently ~0.35 ms/step faster at bench shapes
+        # — measured-config-over-hand-prior, same policy as the sampler
+        # knobs.
         from dist_gnn_tpu.models import GAT
 
-        gat = GAT(
-            features.shape[1], 128, meta["num_classes"], len(fan_out),
-            num_heads=4, compute_dtype=jnp.bfloat16,
-        )
-        trainer_g = Trainer(
-            model=gat, fan_out=fan_out, dedup_last=False,
-            **cfg.trainer_kwargs(),
-        )
-        extras["gat_edges_per_s"] = round(
-            measure_secondary(trainer_g, graph, features), 1
-        )
+        gat_rates = {}
+        for fused in (True, False):
+            gat = GAT(
+                features.shape[1], 128, meta["num_classes"], len(fan_out),
+                num_heads=4, compute_dtype=jnp.bfloat16, use_fused=fused,
+            )
+            trainer_g = Trainer(
+                model=gat, fan_out=fan_out, dedup_last=False,
+                **cfg.trainer_kwargs(),
+            )
+            gat_rates["fused" if fused else "jnp"] = measure_secondary(
+                trainer_g, graph, features
+            )
+        best = max(gat_rates, key=gat_rates.get)
+        extras["gat_edges_per_s"] = round(gat_rates[best], 1)
+        extras["gat_config"] = best
+        extras["gat_fused_edges_per_s"] = round(gat_rates["fused"], 1)
     except Exception as e:  # noqa: BLE001
         extras["gat_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        # serving metric: full-graph layer-wise inference (all N nodes,
-        # full neighborhoods — the reference's models.py:57-97 analog),
-        # steady state (second call; executables + graph prep cached).
-        # Wall time includes the host chunk loop's dispatches — what a
-        # serving deployment actually pays.
-        from dist_gnn_tpu.models.inference import full_graph_inference
+    # serving metrics: full-graph layer-wise inference (all N nodes, full
+    # neighborhoods — the reference's models.py:57-97 analog), steady
+    # state (second call; executables + graph prep cached).  Wall time
+    # includes the host chunk loop's dispatches — what a serving
+    # deployment actually pays.  Each model is constructed fresh so a
+    # TRAINING failure above can't misattribute itself as a serving
+    # failure (round-4 ADVICE #5).
+    def measure_serving(name, make_model, rng_key):
+        try:
+            from dist_gnn_tpu.models.inference import full_graph_inference
 
-        for rep in range(2):
-            t0 = time.time()
-            logits = full_graph_inference(model, state.params, hg, features)
-            device_sync(logits)
-            dt_inf = time.time() - t0
-        extras["inference_edges_per_s"] = round(
-            len(fan_out) * int(meta["num_edges"]) / dt_inf, 1
-        )
-    except Exception as e:  # noqa: BLE001
-        extras["inference_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        # GAT serving (attention over FULL neighborhoods, single-pass
-        # online-lse walk).  The model is constructed HERE so a GAT
-        # training failure above cannot misattribute itself as a serving
-        # failure (round-4 ADVICE #5).
-        from dist_gnn_tpu.models import GAT as _GAT
-        from dist_gnn_tpu.models.inference import full_graph_inference
+            m_s = make_model()
+            p_s = m_s.init(jax.random.key(rng_key))
+            for rep in range(2):
+                t0 = time.time()
+                lg = full_graph_inference(m_s, p_s, hg, features)
+                device_sync(lg)
+                dt_s = time.time() - t0
+            extras[f"inference_{name}edges_per_s"] = round(
+                len(fan_out) * int(meta["num_edges"]) / dt_s, 1
+            )
+        except Exception as e:  # noqa: BLE001
+            extras[f"inference_{name}error"] = f"{type(e).__name__}: {e}"[:200]
 
-        gat_s = _GAT(
+    from dist_gnn_tpu.models import GAT as _GAT, GCN as _GCN
+
+    measure_serving(  # SAGE (the flagship; legacy un-prefixed key)
+        "",
+        lambda: SAGE(
+            features.shape[1], 256, meta["num_classes"], len(fan_out),
+            compute_dtype=jnp.bfloat16,
+        ),
+        0,
+    )
+    measure_serving(  # attention over FULL neighborhoods, online-lse walk
+        "gat_",
+        lambda: _GAT(
             features.shape[1], 128, meta["num_classes"], len(fan_out),
             num_heads=4, compute_dtype=jnp.bfloat16,
-        )
-        gat_p = gat_s.init(jax.random.key(1))
-        for rep in range(2):
-            t0 = time.time()
-            lg = full_graph_inference(gat_s, gat_p, hg, features)
-            device_sync(lg)
-            dt_g = time.time() - t0
-        extras["inference_gat_edges_per_s"] = round(
-            len(fan_out) * int(meta["num_edges"]) / dt_g, 1
-        )
-    except Exception as e:  # noqa: BLE001
-        extras["inference_gat_error"] = f"{type(e).__name__}: {e}"[:200]
+        ),
+        1,
+    )
+    measure_serving(  # symmetric-normalized propagation, same engine
+        "gcn_",
+        lambda: _GCN(
+            features.shape[1], 256, meta["num_classes"], len(fan_out),
+            compute_dtype=jnp.bfloat16,
+        ),
+        2,
+    )
 
     # ---- convergence proof (round-4 VERDICT #3): fresh params, 2 real
     # epochs, full-graph validation accuracy vs the pinned torch oracle --
@@ -451,7 +476,9 @@ def main():
             ht_state, graph, np.asarray(labels), ht_batches(NB, 1),
             jax.random.key(2),
         )
-        jax.block_until_ready(ht_state.params)
+        # device_sync, not block_until_ready: the latter returns before
+        # remote completion on this tunneled backend (NOTES fact #1)
+        device_sync(ht_state.params)
         dt_ht = (time.time() - t0) / NB
         miss_rows = float(np.mean([mm["feat_miss"] for mm in ms1]))
         extras["host_tier_edges_per_s"] = round(edges_per_step / dt_ht, 1)

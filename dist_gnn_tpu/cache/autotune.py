@@ -35,6 +35,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from dist_gnn_tpu.ops.hashtable import np_in_sorted
+
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
@@ -313,7 +315,6 @@ class SamplerCostModel:
 
 
 def predict_config_ms(
-    hop_deg_samples,
     fan_rev: Sequence[int],
     caps: Sequence[int],
     batch_size: int,
@@ -326,6 +327,11 @@ def predict_config_ms(
     cost: SamplerCostModel = SamplerCostModel(),
 ) -> float:
     """Predicted per-step sampler+gather milliseconds for one config.
+
+    Pricing is PADDED-shape only (static budgets clamped to hop row
+    counts) — the runtime processes padded buffers regardless of observed
+    degrees, so no degree samples are needed here (they still size the
+    budgets themselves via ``worst_overflow`` in the tuners).
 
     Per hop (B padded rows, k picks): extents + L1 window fetch are row
     gathers; the L1 one-hot select is O(B*k*2W1) VPU elems; level-2 rows
@@ -426,7 +432,7 @@ def tune_sampler_cost(
                 r1 = _round_up(max(256, worst_overflow(w1) * sl), 256)
                 r2 = _round_up(max(128, worst_overflow(w2) * sl), 128)
                 ms = predict_config_ms(
-                    hop_deg_samples, fan_rev, caps, batch_size,
+                    fan_rev, caps, batch_size,
                     w1, w2, r1, r2, biased=biased, cost=cost,
                 )
                 if best is None or ms < best[1]:
@@ -507,10 +513,7 @@ def tune_dist_tier(
         union_sorted = np.zeros(0, np.int64)
 
     def _in(table, ids):
-        if len(table) == 0:
-            return np.zeros(len(ids), bool)
-        pos = np.clip(np.searchsorted(table, ids), 0, len(table) - 1)
-        return table[pos] == ids
+        return np_in_sorted(table, ids)[0]
 
     feat_miss_max = struct_miss_max = 0
     missed_degs = []

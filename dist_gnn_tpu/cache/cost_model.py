@@ -51,8 +51,16 @@ class CostModel:
 
     def local_bandwidth_selfless(self, num_devices: int) -> float:
         """Effective local HBM bandwidth when peers also read over ICI
-        (``cache_value.py:363``)."""
-        return self.bandwidth_hbm - (num_devices - 1) * self.bandwidth_ici
+        (``cache_value.py:363``).  Floored at the ICI bandwidth: the
+        linear peer-contention model goes NEGATIVE past
+        ``1 + bandwidth_hbm/bandwidth_ici`` devices (~19 at defaults),
+        which would invert the selfless score in the auto policy — at
+        that device count local reads are ICI-arbitration-bound, not
+        HBM-bound."""
+        return max(
+            self.bandwidth_hbm - (num_devices - 1) * self.bandwidth_ici,
+            self.bandwidth_ici,
+        )
 
 
 def available_hbm_bytes(device=None, reserved: int = 2 << 30) -> int:

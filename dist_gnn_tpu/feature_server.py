@@ -62,8 +62,14 @@ class CachedFeatureStore:
     """
 
     def __init__(self, host_features: np.ndarray, cache_nids: np.ndarray):
-        # sort + dedup so slot i of the hot matrix is sorted_ids[i]
-        cache_sorted = np.unique(np.asarray(cache_nids, dtype=np.int32))
+        # sort + dedup so slot i of the hot matrix is sorted_ids[i];
+        # filter INVALID_ID padding and out-of-range ids first — cache
+        # plans arrive as [C] INVALID-padded rows (cache/builder.py), and
+        # an unfiltered pad id indexed host_features out of bounds (the
+        # sibling stores HostCSCStore / DistHost* all filter the same way)
+        ids = np.asarray(cache_nids, dtype=np.int64)
+        ids = ids[(ids >= 0) & (ids < host_features.shape[0])]
+        cache_sorted = np.unique(ids.astype(np.int32))
         self.table = SortedIdTable.build(cache_sorted)
         self.hot = jnp.asarray(host_features[cache_sorted])
         self.host_features = host_features

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dist_gnn_tpu.graph import INVALID_ID
+from dist_gnn_tpu.ops.hashtable import np_in_sorted
 
 
 @jax.tree_util.register_dataclass
@@ -105,12 +106,10 @@ class HostFeatureStore:
         return int(self.base.shape[1])
 
     def hit_rate(self, nids: np.ndarray) -> float:
-        pos = np.clip(
-            np.searchsorted(self.sorted_np, nids), 0, max(len(self.sorted_np) - 1, 0)
-        )
         if len(self.sorted_np) == 0:
             return 0.0
-        return float(np.mean(self.sorted_np[pos] == nids))
+        member, _ = np_in_sorted(self.sorted_np, nids)
+        return float(np.mean(member))
 
     def stage(self, frontier_np: np.ndarray, fmask_np: np.ndarray) -> StagedRows:
         """Host side: find this frontier's hot-tier misses, gather their
@@ -121,12 +120,8 @@ class HostFeatureStore:
         """
         L = len(frontier_np)
         R = self.miss_budget
-        C = len(self.sorted_np)
-        if C:
-            pos = np.clip(np.searchsorted(self.sorted_np, frontier_np), 0, C - 1)
-            hit = fmask_np & (self.sorted_np[pos] == frontier_np)
-        else:
-            hit = np.zeros(L, bool)
+        member, _ = np_in_sorted(self.sorted_np, frontier_np)
+        hit = fmask_np & member
         miss_idx = np.flatnonzero(fmask_np & ~hit)
         # lossless (round-4): the slab GROWS in pow2 buckets past the
         # configured budget instead of dropping — the host always serves;
@@ -214,14 +209,9 @@ def plan_hop_arrays(
     Returns (local_rows [L] int32, dict of StagedAdjacency device-array
     fields as numpy, staged count, overflow count)."""
     L = len(seeds_np)
-    C = len(sorted_hot)
     safe_seed = np.where(mask_np, seeds_np, 0)
-    if C:
-        pos = np.clip(np.searchsorted(sorted_hot, safe_seed), 0, C - 1)
-        hit = mask_np & (sorted_hot[pos] == safe_seed)
-    else:
-        pos = np.zeros(L, np.int64)
-        hit = np.zeros(L, bool)
+    member, pos = np_in_sorted(sorted_hot, safe_seed)
+    hit = mask_np & member
     local_rows = np.where(hit, pos, INVALID_ID).astype(np.int32)
 
     miss_idx = np.flatnonzero(mask_np & ~hit)
@@ -351,10 +341,8 @@ class HostCSCStore:
     def hit_rate(self, nids: np.ndarray) -> float:
         if len(self.sorted_np) == 0:
             return 0.0
-        pos = np.clip(
-            np.searchsorted(self.sorted_np, nids), 0, len(self.sorted_np) - 1
-        )
-        return float(np.mean(self.sorted_np[pos] == nids))
+        member, _ = np_in_sorted(self.sorted_np, nids)
+        return float(np.mean(member))
 
     def plan_hop(self, seeds_np: np.ndarray, mask_np: np.ndarray, k: int, rng):
         """Host side: probe hot tier, stage miss adjacency.

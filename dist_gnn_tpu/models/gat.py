@@ -149,7 +149,7 @@ class GAT:
         ``_project`` (z-based) is kept for the layer-wise inference paths
         that genuinely reuse z across destination chunks.
         """
-        from dist_gnn_tpu.ops.gat_pallas import _block_rows, gat_attention
+        from dist_gnn_tpu.ops.gat_pallas import gat_attention
 
         H = self.num_heads
         cd = self.compute_dtype

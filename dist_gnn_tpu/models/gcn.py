@@ -67,6 +67,11 @@ class GCN:
         # convention (as in minibatch GCN training) normalises by the dst
         # degree on both sides of the product for frontier-only sources,
         # and by the true block degree when the source is also a dst row.
+        # NB dedup_last=False: the dedup-free final hop never maps a
+        # neighbor onto a dst slot, so a neighbor equal to a seed gets
+        # d_j = 1 there instead of the seed's block degree — a slightly
+        # different (still valid) minibatch-GCN normalization, not an
+        # error (see the Trainer.dedup_last flag comment).
         src_deg = jnp.ones((block.num_src,), h.dtype)
         src_deg = src_deg.at[:S].set(deg_dst)
         d_j = src_deg[jnp.where(block.neigh_mask, block.neigh_slots, 0)]

@@ -56,121 +56,6 @@ def _span_rows(local_ptr, base, n: int, num_dst: int):
     return jnp.clip(rows, 0, num_dst - 1)
 
 
-@partial(jax.jit, static_argnames=("num_dst", "edge_chunk"))
-def _mean_aggregate_span(
-    indptr, indices, h, dst_lo, num_dst: int, edge_lo, edge_hi, edge_chunk: int
-):
-    """Masked neighbor-mean for dst rows [dst_lo, dst_lo + num_dst)."""
-    F = h.shape[1]
-    nnz = indices.shape[0]
-    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
-    deg = (local_ptr[1:] - local_ptr[:-1]).astype(h.dtype)
-
-    def body(c, acc):
-        base = edge_lo + c * edge_chunk
-        off = base + jnp.arange(edge_chunk, dtype=jnp.int64 if indptr.dtype == jnp.int64 else jnp.int32)
-        valid = off < edge_hi
-        off_c = jnp.clip(off, 0, nnz - 1)
-        src = indices[off_c]
-        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
-        msg = jnp.where(valid[:, None], h[jnp.where(valid, src, 0)], 0)
-        return acc + jax.ops.segment_sum(
-            msg, rows, num_segments=num_dst, indices_are_sorted=True
-        )
-
-    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
-    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((num_dst, F), h.dtype))
-    return acc / jnp.maximum(deg, 1)[:, None]
-
-
-@partial(jax.jit, static_argnames=("num_dst", "edge_chunk"))
-def _gcn_aggregate_span(
-    indptr, indices, h, inv_sqrt, dst_lo, num_dst: int, edge_lo, edge_hi,
-    edge_chunk: int,
-):
-    """Symmetric-normalised GCN aggregation for dst rows
-    [dst_lo, dst_lo + num_dst) with TRUE full-graph degrees:
-
-        agg_i = 1/sqrt(deg_i+1) * sum_j h_j / sqrt(deg_j+1)  +  h_i/(deg_i+1)
-
-    ``inv_sqrt`` is the precomputed [N] vector 1/sqrt(deg+1)."""
-    F = h.shape[1]
-    nnz = indices.shape[0]
-    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
-    deg = (local_ptr[1:] - local_ptr[:-1]).astype(h.dtype)
-    inv_dst = jax.lax.dynamic_slice(inv_sqrt, (dst_lo,), (num_dst,))
-
-    def body(c, acc):
-        base = edge_lo + c * edge_chunk
-        off = base + jnp.arange(edge_chunk, dtype=local_ptr.dtype)
-        valid = off < edge_hi
-        off_c = jnp.clip(off, 0, nnz - 1)
-        src = jnp.where(valid, indices[off_c], 0)
-        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
-        msg = jnp.where(valid[:, None], h[src] * inv_sqrt[src][:, None], 0)
-        return acc + jax.ops.segment_sum(
-            msg, rows, num_segments=num_dst, indices_are_sorted=True
-        )
-
-    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
-    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((num_dst, F), h.dtype))
-    h_dst = jax.lax.dynamic_slice(h, (dst_lo, 0), (num_dst, F))
-    return acc * inv_dst[:, None].astype(h.dtype) + h_dst / (deg + 1)[:, None]
-
-
-@partial(jax.jit, static_argnames=("num_dst", "edge_chunk", "negative_slope"))
-def _gat_aggregate_span(
-    indptr, indices, z, el, er, dst_lo, num_dst: int, edge_lo, edge_hi,
-    edge_chunk: int, negative_slope: float,
-):
-    """Attention aggregation for dst rows [dst_lo, dst_lo+num_dst): softmax
-    over each row's FULL in-neighborhood, streamed over edge chunks with an
-    online (flash-style) renormalisation so no [deg]-sized state exists.
-
-    z [N, H, d] projected features, el/er [N, H] SDDMM halves.
-    Returns [num_dst, H, d]."""
-    N, H, d = z.shape
-    nnz = indices.shape[0]
-    local_ptr = jax.lax.dynamic_slice(indptr, (dst_lo,), (num_dst + 1,))
-    el_dst = jax.lax.dynamic_slice(el, (dst_lo, 0), (num_dst, H))
-    neg = jnp.float32(-1e30)
-
-    def body(c, carry):
-        m, s, acc = carry  # [num,H], [num,H], [num,H,d]
-        base = edge_lo + c * edge_chunk
-        off = base + jnp.arange(edge_chunk, dtype=local_ptr.dtype)
-        valid = off < edge_hi
-        off_c = jnp.clip(off, 0, nnz - 1)
-        src = jnp.where(valid, indices[off_c], 0)
-        rows = _span_rows(local_ptr, base, edge_chunk, num_dst)
-        score = jax.nn.leaky_relu(
-            (el_dst[rows] + er[src]).astype(jnp.float32), negative_slope
-        )  # [E, H]
-        score = jnp.where(valid[:, None], score, neg)
-        m_c = jax.ops.segment_max(score, rows, num_segments=num_dst)
-        m_new = jnp.maximum(m, m_c)
-        # rescale old accumulators; exp(neg - neg) -> exp(0)=1 is harmless
-        # because s/acc are 0 whenever m is still neg
-        scale = jnp.exp(m - m_new)
-        w = jnp.where(valid[:, None], jnp.exp(score - m_new[rows]), 0.0)
-        s = s * scale + jax.ops.segment_sum(w, rows, num_segments=num_dst)
-        contrib = jax.ops.segment_sum(
-            w[:, :, None] * z[src].astype(jnp.float32),
-            rows,
-            num_segments=num_dst,
-        )
-        acc = acc * scale[..., None] + contrib
-        return m_new, s, acc
-
-    n_chunks = (edge_hi - edge_lo + edge_chunk - 1) // edge_chunk
-    m0 = jnp.full((num_dst, H), neg, jnp.float32)
-    s0 = jnp.zeros((num_dst, H), jnp.float32)
-    a0 = jnp.zeros((num_dst, H, d), jnp.float32)
-    _, s, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, s0, a0))
-    out = acc / jnp.maximum(s, 1e-12)[..., None]
-    return out.astype(z.dtype)
-
-
 @partial(jax.jit, donate_argnums=(0,))
 def _acc_sum_slab(acc, local_ptr, off0, src_feats, n_valid):
     """One staged edge slab of neighbor-sum accumulation: src_feats [E, F]
@@ -191,8 +76,9 @@ def _gat_acc_slab(
     m, s, acc, local_ptr, off0, z_src, er_src, el_dst, n_valid, negative_slope
 ):
     """One staged slab of online-softmax attention accumulation
-    (flash-style renormalisation, same math as :func:`_gat_aggregate_span`
-    but with host-staged z/er instead of device-resident [N, ...] state)."""
+    (flash-style renormalisation, the host-staged sibling of the
+    one-program online walk in :func:`_gat_online_all_edges`: z/er arrive
+    per slab instead of as device-resident [N, ...] state)."""
     E, H, d = z_src.shape
     num_dst = el_dst.shape[0]
     neg = jnp.float32(-1e30)
@@ -340,8 +226,9 @@ def _edge_rows(indptr, num_nodes: int, nnz: int):
     """Static edge→dst-row map [nnz_pad]: scatter each row's start offset,
     forward-fill with ``cummax`` (rows are a monotone step function of the
     edge offset — same trick as :func:`_span_rows`, but computed ONCE per
-    graph instead of per chunk).  Padding slots (>= nnz) get row
-    ``num_nodes`` — an overflow segment the aggregators drop."""
+    graph instead of per chunk).  NB the [nnz] result is padded to chunk
+    granularity by the caller with fill -1 (``_pad_edges(erows, ..., -1)``);
+    padded slots are always masked by the chunk's ``e_cnt`` before use."""
     starts = indptr[:-1].astype(jnp.int32)
     ids = jnp.arange(num_nodes, dtype=jnp.int32)
     mark = jnp.full((nnz,), -1, jnp.int32).at[starts].max(ids, mode="drop")
@@ -620,8 +507,10 @@ def full_graph_inference(
     if cache is not None and cache[0] == key:
         indptr, indices_p, erows_p, eb, ec, rl = cache[1]
     else:
-        ptr_dtype = np.int64 if nnz >= 2**31 else np.int32
-        indptr = jnp.asarray(np.asarray(hg.indptr, dtype=ptr_dtype))
+        # int32 is always sufficient here: the >=2**31-nnz case raised
+        # NotImplementedError above (this engine's edge offsets are int32
+        # end-to-end; the host engine owns the int64 regime)
+        indptr = jnp.asarray(np.asarray(hg.indptr, dtype=np.int32))
         indices = jnp.asarray(hg.indices)
         erows = _edge_rows(indptr, N, nnz)
         indices_p = _pad_edges(indices, edge_chunk, 0)

@@ -24,6 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def np_in_sorted(table: np.ndarray, ids) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side membership probe of a SORTED id array.
+
+    Returns ``(member [bool], pos [intp])`` with ``pos`` clipped into the
+    table (all-False / zeros when the table is empty).  The single source
+    for the searchsorted+clip+equality idiom used by every host-side hot
+    tier (host_tier, cache.autotune) — the device-side twin is
+    :class:`SortedIdTable`.
+    """
+    ids = np.asarray(ids)
+    if len(table) == 0:
+        return np.zeros(len(ids), bool), np.zeros(len(ids), np.int64)
+    pos = np.clip(np.searchsorted(table, ids), 0, len(table) - 1)
+    return table[pos] == ids, pos
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SortedIdTable:

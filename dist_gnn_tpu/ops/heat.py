@@ -78,6 +78,10 @@ def frontier_heat_all(
     chunk = min(chunk, max(nnz, 1))
     deg = (graph.indptr[1:] - graph.indptr[:-1]).astype(jnp.float32)
     if graph.probs is not None:
+        if row_prob_sum is None:
+            # callers can pass it to amortize across hops; the default
+            # must still work on a biased graph
+            row_prob_sum = _row_prob_sums(graph, chunk)
         denom = jnp.where(row_prob_sum > 0, row_prob_sum, 1.0)
         # per-edge msg = min(1, factor[row] * p_e)
         row_val = seeds_heat * num_picks / denom[None, :]
@@ -222,6 +226,11 @@ def get_node_heat_all_host(
         return jnp.minimum(1.0, row_val[:, rows] * p[None, :])
 
     deg_dev = jnp.asarray(deg)
+    # denom ships to device ONCE — inside the hop loop it re-uploaded the
+    # full [N] array hops x ceil(D/Dg) times (~450 MB of identical H2D at
+    # papers100M scale, in the function that exists for bigger-than-HBM
+    # graphs)
+    denom_dev = jnp.asarray(denom_np) if biased else None
     samp_out = np.zeros((D, N), np.float32)
     feat_out = np.zeros((D, N), np.float32)
     for g0 in range(0, D, Dg):
@@ -231,7 +240,7 @@ def get_node_heat_all_host(
         frontier = jnp.zeros_like(seeds)
         for k in reversed(list(fan_out)):
             if biased:
-                row_val = seeds * np.float32(k) / jnp.asarray(denom_np)[None, :]
+                row_val = seeds * np.float32(k) / denom_dev[None, :]
             else:
                 row_val = row_val_uniform(seeds, np.float32(k), deg_dev)
             frontier = jnp.zeros_like(seeds)

@@ -561,6 +561,10 @@ def _alias_distinct_tail(graph: Graph, start, deg, row_mask, k: int, row_key):
     got = (jslots < jnp.minimum(got_n, jnp.minimum(deg, k))[:, None]) & row_mask[:, None]
     pos_k = jnp.clip(start[:, None] + sel.astype(start.dtype), 0, nnz)
     ids = jnp.where(got, graph.indices[pos_k], INVALID_ID)
+    # NB ``want`` counts ALL edges; a tail row with fewer than min(deg, k)
+    # POSITIVE-weight edges reports a persistent shortfall (the alias
+    # table never draws p = 0 edges) — conservative, nothing was wrongly
+    # dropped; A-Res would also return fewer than k there
     want = jnp.where(row_mask, jnp.minimum(deg, k), 0)
     shortfall = jnp.sum(jnp.maximum(want - got_n, 0)).astype(jnp.int32)
     return ids, sel, got, shortfall
@@ -859,14 +863,14 @@ def sample_biased_alias(
     jslots = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
     sparse_valid = jslots < got[:, None]
 
+    # deg <= k rows take the dense Gumbel path too (NOT a copy-all
+    # shortcut): exact top-k over the row keeps zero-weight edges OUT
+    # (glog = -inf), matching sample_biased/_windowed and the A-Res
+    # semantics — a jslots copy-all used to return p = 0 edges as valid
+    # neighbors on exactly these rows
     is_dense = deg[:, None] <= D
-    take_all = deg[:, None] <= k
-    sel = jnp.where(take_all, jslots, jnp.where(is_dense, top_off, sel_sparse))
-    smask = jnp.where(
-        take_all,
-        jslots < deg[:, None],
-        jnp.where(is_dense, dense_valid, sparse_valid),
-    )
+    sel = jnp.where(is_dense, top_off, sel_sparse)
+    smask = jnp.where(is_dense, dense_valid, sparse_valid)
     mask = valid[:, None] & smask
     (idv,), served_i, ovf_i = fetch(
         (graph.indices,), sel, mask, pairs=_indices_pair(graph, window)
@@ -876,7 +880,11 @@ def sample_biased_alias(
     # sparse-path shortfall (fewer than k distinct draws in T attempts on a
     # deg > 2k row — or draws lost to window budgets) is rare but
     # observable, not silent
-    sparse_row = valid & ~take_all[:, 0] & (deg > D)
+    # NB a deg > 2k row with fewer than k POSITIVE-weight edges reports a
+    # persistent shortfall (the alias table never draws p = 0 edges, so
+    # got saturates at the positive count) — conservative: nothing was
+    # wrongly dropped, A-Res would also return fewer than k there
+    sparse_row = valid & (deg > D)
     shortfall = jnp.sum(
         jnp.where(sparse_row, jnp.maximum(k - got, 0), 0)
     ).astype(jnp.int32)

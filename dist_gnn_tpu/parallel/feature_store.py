@@ -164,7 +164,9 @@ def exchange_gather(
     first round covers everything (the common case).  This matches the
     reference's never-drops semantics, where the UVA fallback serves every
     element (``src/feature/cuda/feature_ops.cu:38-73``).  The returned
-    count is the residual UNSERVED total — always 0 when lossless.
+    count is the residual UNSERVED total plus any masked-true ids outside
+    the sharded table (structurally unservable, returned as zero rows) —
+    0 when lossless and every requested id is in range.
     ``lossless=False`` restores single-round drop-and-count (used by the
     budget-accounting tests and the autotuner's overflow model).
     """
@@ -173,11 +175,24 @@ def exchange_gather(
     if n == 1:
         # single-chip mesh: the shard IS the whole table — skip the
         # round-trip (request scatter + 2 all_to_alls + response reorder
-        # cost a second full row gather, ~2x at bench shapes)
+        # cost a second full row gather, ~2x at bench shapes).  Ids
+        # outside the table are zeros, COUNTED (never silent — module
+        # contract)
+        oor1 = jnp.sum(
+            (mask & ((ids < 0) | (ids >= local_shard.shape[0]))).astype(
+                jnp.int32
+            )
+        )
+        in_range = mask & (ids >= 0) & (ids < local_shard.shape[0])
         safe = jnp.clip(ids, 0, local_shard.shape[0] - 1)
-        rows = jnp.where(mask[:, None], local_shard[safe], 0)
-        return rows, jnp.int32(0)
+        rows = jnp.where(in_range[:, None], local_shard[safe], 0)
+        return rows, oor1
     Pb = budget if budget is not None else request_budget(ids.shape[0], n)
+    # out-of-range masked-true ids would be "served" clipped zeros by the
+    # rounds below — zero their rows but keep them visible in the count
+    mask_in = mask & (ids >= 0) & (ids < n * shard_size)
+    oor = jnp.sum((mask & ~mask_in).astype(jnp.int32))
+    mask = mask_in
 
     def one_round(pending, out):
         plan, recv, ovf = make_request(ids, pending, axis_name, shard_size, Pb)
@@ -201,7 +216,7 @@ def exchange_gather(
     out0 = jnp.zeros((ids.shape[0], local_shard.shape[1]), local_shard.dtype)
     pending, out, ovf = one_round(mask, out0)
     if not lossless:
-        return out, ovf
+        return out, ovf + oor
     remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axis_name)
 
     def cond(c):
@@ -216,7 +231,7 @@ def exchange_gather(
     pending, out, remaining = jax.lax.while_loop(
         cond, body, (pending, out, remaining)
     )
-    return out, jnp.sum(pending.astype(jnp.int32))
+    return out, jnp.sum(pending.astype(jnp.int32)) + oor
 
 
 def exchange_gather_hier(
@@ -246,7 +261,9 @@ def exchange_gather_hier(
       responses retrace the two stages in reverse.
 
     Budgets default to ``request_budget`` per tier.  Returns
-    ([L, F] rows, unserved_count — 0 when ``lossless``).
+    ([L, F] rows, unserved_count — 0 when ``lossless`` and every
+    masked-true id is inside the sharded table; out-of-range ids return
+    zero rows and are counted, never silent).
 
     **Lossless spill** (round-4): a request can miss its first round at
     either stage (host-budget overflow, or stage-2 relay overflow on the
@@ -312,11 +329,15 @@ def exchange_gather_hier(
     axes = (host_axis, data_axis)
     out0 = jnp.zeros((L, F), local_shard.dtype)
     # ids outside the sharded table are structurally unservable: return
-    # zeros immediately instead of letting them circulate as pending
-    mask = mask & (ids >= 0) & (ids < H * D * shard_size)
-    pending, out, ovf = one_round(mask, out0)
+    # zeros immediately instead of letting them circulate as pending —
+    # but COUNT them into the returned unserved/overflow total (the
+    # module contract is "a nonzero count means re-tune, never silent
+    # data loss"; a silently-zeroed row would break it)
+    mask_in = mask & (ids >= 0) & (ids < H * D * shard_size)
+    oor = jnp.sum((mask & ~mask_in).astype(jnp.int32))
+    pending, out, ovf = one_round(mask_in, out0)
     if not lossless:
-        return out, ovf
+        return out, ovf + oor
     remaining = jax.lax.psum(jnp.sum(pending.astype(jnp.int32)), axes)
 
     def cond(c):
@@ -331,7 +352,7 @@ def exchange_gather_hier(
     pending, out, remaining = jax.lax.while_loop(
         cond, body, (pending, out, remaining)
     )
-    return out, jnp.sum(pending.astype(jnp.int32))
+    return out, jnp.sum(pending.astype(jnp.int32)) + oor
 
 
 def build_union_tables(

@@ -46,7 +46,12 @@ from dist_gnn_tpu.host_tier import StagedAdjacency, sample_staged_hop
 from dist_gnn_tpu.ops.hashtable import SortedIdTable
 from dist_gnn_tpu.parallel.feature_store import peer_hot_fetch, request_budget
 from dist_gnn_tpu.sampler import Block, _no_dedup_block, _relabel, sample_blocks
-from dist_gnn_tpu.training.trainer import TrainState
+from dist_gnn_tpu.training.trainer import (
+    TrainState,
+    dist_masked_nll_loss,
+    init_train_state,
+    make_optimizer,
+)
 
 
 class DistStaged(NamedTuple):
@@ -243,8 +248,10 @@ class DistHostFeatureStore:
     ):
         """Three-tier assembly for this chip's frontier (call inside
         shard_map): local hot gather + peer-hot all-to-all + staged-miss
-        scatter.  Returns ([L, F] rows, peer_dropped count — requests the
-        peer-hot budget dropped, served as zeros and surfaced in metrics).
+        scatter.  Returns ([L, F] rows, peer_dropped count — an INVARIANT
+        check that is provably 0 (the peer fetch spills losslessly); a
+        nonzero value surfaces a routing-table/serve-path disagreement
+        in metrics instead of silent zero features).
         """
         hot_sorted, hot_rows, union_sorted, union_owner = shard_args
         hot_sorted = hot_sorted.reshape(-1)
@@ -270,8 +277,14 @@ class DistHostFeatureStore:
         )
         out = jnp.where(peer_served[:, None], peer_rows, out)
 
-        # anything hot-somewhere but beyond the peer budget is DROPPED (and
-        # counted) — the host staging only covered not-hot-anywhere rows
+        # INVARIANT CHECK, not a live drop path: peer_hot_fetch spills
+        # lossless rounds until every hot-somewhere request is served, so
+        # this count is provably 0 — a nonzero value means the union
+        # routing tables and the peer serve path disagree (a bug), and the
+        # metric exists to make that loud.  The extra union probe is the
+        # price of the tripwire (host staging only covered
+        # not-hot-anywhere rows, so a routing bug here would otherwise
+        # surface as silent zero features).
         U = union_sorted.shape[0]
         upos = jnp.clip(jnp.searchsorted(union_sorted, ids), 0, max(U - 1, 0))
         hot_somewhere = mask & (U > 0) & (union_sorted[upos] == ids)
@@ -308,20 +321,19 @@ class DistHostTrainer:
     peer_budget_slack: float = 4.0
 
     def __post_init__(self):
-        self.optimizer = optax.chain(
-            optax.add_decayed_weights(self.weight_decay),
-            optax.adam(self.lr),
-        )
+        self.optimizer = make_optimizer(self.lr, self.weight_decay)
         self.mesh = self.store.mesh
         self.axis_name = self.store.axis_name
+        if self.replace and self.gstore is not None:
+            # the staged-hop samplers are without-replacement only (see
+            # training/pipeline.py — same contract)
+            raise NotImplementedError(
+                "replace=True is not supported with host-resident "
+                "structure (gstore)"
+            )
 
     def init_state(self, key: jax.Array) -> TrainState:
-        params = self.model.init(key)
-        return TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        return init_train_state(self.model, self.optimizer, key)
 
     # ---- phase 1: sampling (one shard_map) -----------------------------------
 
@@ -499,24 +511,9 @@ class DistHostTrainer:
     # ---- phase 2: compute (one shard_map) -------------------------------------
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
-        logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
-            contiguous_first=not self.dedup_last,
-        )
-        labels = jnp.where(seed_mask, labels, 0)
-        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(
-            ll, labels[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
-        nll = jnp.where(seed_mask, nll, 0.0)
-        n_local = jnp.sum(seed_mask.astype(jnp.float32))
-        n_global = jax.lax.psum(n_local, self.axis_name)
-        correct = (
-            jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels
-        ) & seed_mask
-        denom = jnp.maximum(n_global, 1.0)
-        return jnp.sum(nll) / denom, (
-            jnp.sum(correct.astype(jnp.float32)), denom
+        return dist_masked_nll_loss(
+            self.model, self.dedup_last, self.axis_name, params, blocks,
+            feats, labels, seed_mask, rng,
         )
 
     def compute_phase(

@@ -115,7 +115,9 @@ class DistHostCSCStore:
         self.hot_num_nodes = C
         self.hot_num_edges = E
         self.hot_max_degree = max_deg
-        ax = axis_name
+        # use the NORMALIZED axis name (list input → tuple in __init__) —
+        # the raw parameter would reach PartitionSpec as a list
+        ax = self.axis_name
         sh = NamedSharding(mesh, P(ax, None))
         self.hot_indptr = jax.device_put(indptr, sh)
         self.hot_indices = jax.device_put(indices, sh)

@@ -25,8 +25,8 @@ analog that scales the same protocol past one chip.
 Supports all three model families: SAGE (mean), GCN (true-degree
 symmetric normalisation), and GAT — whose softmax over each row's full
 in-neighborhood is computed *across rotations* with the same online
-(flash-style) renormalisation the single-chip variant uses across edge
-chunks (``models/inference._gat_aggregate_span``).
+(flash-style) renormalisation the single-chip engines use across edge
+chunks (``models/inference._gat_online_all_edges`` / ``_gat_acc_slab``).
 """
 
 from __future__ import annotations
@@ -145,7 +145,7 @@ def _ring_gat_aggregate(
     """GAT attention aggregation with the softmax normalised over each dst
     row's FULL in-neighborhood, accumulated across ring rotations AND edge
     chunks with online (flash-style) renormalisation — the distributed
-    extension of ``models/inference._gat_aggregate_span``.
+    sibling of ``models/inference._gat_online_all_edges``.
 
     z [S, H, d] / el, er [S, H] are this device's projected block; the
     (z, er) pair rotates around the ring.  Returns [S, H, d]."""

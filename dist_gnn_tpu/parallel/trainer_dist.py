@@ -32,7 +32,12 @@ from dist_gnn_tpu.graph import Graph
 from dist_gnn_tpu.parallel.feature_store import ShardedFeatureStore
 from dist_gnn_tpu.parallel.graph_dist import ShardedGraph, sample_neighbors_cached
 from dist_gnn_tpu.sampler import Block, sample_blocks
-from dist_gnn_tpu.training.trainer import TrainState
+from dist_gnn_tpu.training.trainer import (
+    TrainState,
+    dist_masked_nll_loss,
+    init_train_state,
+    make_optimizer,
+)
 
 
 @dataclasses.dataclass(eq=False)
@@ -80,23 +85,10 @@ class DistTrainer:
         )
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
-        logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
-            contiguous_first=not self.dedup_last,
+        return dist_masked_nll_loss(
+            self.model, self.dedup_last, self.axis_name, params, blocks,
+            feats, labels, seed_mask, rng,
         )
-        labels = jnp.where(seed_mask, labels, 0)
-        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
-        nll = jnp.where(seed_mask, nll, 0.0)
-        # normalise by the GLOBAL valid count so the psum'd gradient equals
-        # the single-device gradient of the full batch
-        n_local = jnp.sum(seed_mask.astype(jnp.float32))
-        n_global = jax.lax.psum(n_local, self.axis_name)
-        loss_sum = jnp.sum(nll)
-        correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
-        acc_sum = jnp.sum(correct.astype(jnp.float32))
-        denom = jnp.maximum(n_global, 1.0)
-        return loss_sum / denom, (acc_sum, denom)
 
     def _sample_blocks_sharded(self, sgraph_blks, seeds, seed_mask, key):
         """Per-layer owner-side sampling + local relabel (inside shard_map).

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from dist_gnn_tpu.graph import Graph, INVALID_ID
+from dist_gnn_tpu.graph import Graph
 from dist_gnn_tpu.host_tier import (
     HostCSCStore,
     HostFeatureStore,
@@ -40,7 +40,12 @@ from dist_gnn_tpu.host_tier import (
     sample_staged_hop,
 )
 from dist_gnn_tpu.sampler import _no_dedup_block, _relabel, sample_blocks
-from dist_gnn_tpu.training.trainer import TrainState
+from dist_gnn_tpu.training.trainer import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    masked_nll_loss,
+)
 
 
 @dataclasses.dataclass(eq=False)
@@ -65,18 +70,19 @@ class HostTierTrainer:
     sampler_big_budget: Optional[int] = None
 
     def __post_init__(self):
-        self.optimizer = optax.chain(
-            optax.add_decayed_weights(self.weight_decay),
-            optax.adam(self.lr),
-        )
+        self.optimizer = make_optimizer(self.lr, self.weight_decay)
+        if self.replace and self.gstore is not None:
+            # the staged-hop samplers (hot-tier Feistel, staged windows,
+            # host hub presampling) are without-replacement only; honoring
+            # the flag silently elsewhere would train a different
+            # distribution than configured
+            raise NotImplementedError(
+                "replace=True is not supported with host-resident "
+                "structure (gstore)"
+            )
 
     def init_state(self, key: jax.Array) -> TrainState:
-        params = self.model.init(key)
-        return TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        return init_train_state(self.model, self.optimizer, key)
 
     # ---- sampling phase --------------------------------------------------
 
@@ -152,19 +158,10 @@ class HostTierTrainer:
     # ---- compute phase ---------------------------------------------------
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
-        logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
-            contiguous_first=not self.dedup_last,
+        return masked_nll_loss(
+            self.model, self.dedup_last, params, blocks, feats, labels,
+            seed_mask, rng,
         )
-        labels = jnp.where(seed_mask, labels, 0)
-        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
-        nll = jnp.where(seed_mask, nll, 0.0)
-        n = jnp.maximum(jnp.sum(seed_mask.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(nll) / n
-        correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
-        acc = jnp.sum(correct.astype(jnp.float32)) / n
-        return loss, acc
 
     @partial(jax.jit, static_argnames=("self",))
     def compute_step(
@@ -217,9 +214,15 @@ class HostTierTrainer:
                     self._sample_host_structure(seeds_np, mask_np, k_i, rng)
                 )
             else:
-                blocks, _ = self._sample_device(
+                blocks, sstats = self._sample_device(
                     graph, jnp.asarray(seeds_np), jnp.asarray(mask_np), k_i
                 )
+                # thread the sampler overflow counters into the metrics —
+                # an undersized big-row budget must be observable, never a
+                # silent edge drop (sample_blocks' own contract); the int()
+                # costs nothing extra, the frontier readback already syncs
+                host_stats["sampler_overflow"] = int(sstats["sampler_overflow"])
+                host_stats["frontier_overflow"] = int(sstats["frontier_overflow"])
                 frontier_np = np.asarray(blocks[-1].frontier)  # sync: sampling
                 fmask_np = np.asarray(blocks[-1].frontier_mask)
             if pend is not None:

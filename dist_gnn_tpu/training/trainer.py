@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dist_gnn_tpu.graph import Graph, INVALID_ID
+from dist_gnn_tpu.graph import Graph
 from dist_gnn_tpu.sampler import sample_blocks
 
 
@@ -36,6 +36,69 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+def make_optimizer(lr: float, weight_decay: float):
+    """Adam + coupled L2 (torch.optim.Adam parity, not AdamW) — shared by
+    every trainer class (``node_classification.py:66``)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr),
+    )
+
+
+def init_train_state(model, optimizer, key: jax.Array) -> TrainState:
+    params = model.init(key)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def masked_nll_loss(
+    model, dedup_last: bool, params, blocks, feats, labels, seed_mask, rng
+):
+    """(loss, acc) over masked seeds — the single source of the training
+    objective for Trainer, HostTierTrainer, and the distributed trainers
+    that mirror it."""
+    logits = model.apply(
+        params, tuple(reversed(blocks)), feats, train=True, rng=rng,
+        contiguous_first=not dedup_last,
+    )
+    labels = jnp.where(seed_mask, labels, 0)
+    ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    nll = jnp.where(seed_mask, nll, 0.0)
+    n = jnp.maximum(jnp.sum(seed_mask.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(nll) / n
+    correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
+    acc = jnp.sum(correct.astype(jnp.float32)) / n
+    return loss, acc
+
+
+def dist_masked_nll_loss(
+    model, dedup_last: bool, axis_name, params, blocks, feats, labels,
+    seed_mask, rng,
+):
+    """Distributed variant of :func:`masked_nll_loss`: returns
+    ``(loss, (acc_sum, global_denom))`` normalised by the GLOBAL valid
+    count (``psum`` over ``axis_name``) so the psum'd gradient equals the
+    single-device gradient of the full batch — the single source for
+    DistTrainer and DistHostTrainer."""
+    logits = model.apply(
+        params, tuple(reversed(blocks)), feats, train=True, rng=rng,
+        contiguous_first=not dedup_last,
+    )
+    labels = jnp.where(seed_mask, labels, 0)
+    ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    nll = jnp.where(seed_mask, nll, 0.0)
+    n_local = jnp.sum(seed_mask.astype(jnp.float32))
+    n_global = jax.lax.psum(n_local, axis_name)
+    correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
+    denom = jnp.maximum(n_global, 1.0)
+    return jnp.sum(nll) / denom, (jnp.sum(correct.astype(jnp.float32)), denom)
 
 
 @dataclasses.dataclass(eq=False)  # identity hash → usable as a jit static arg
@@ -47,7 +110,14 @@ class Trainer:
     replace: bool = False
     relabel_mode: str = "auto"
     frontier_caps: Any = None  # Optional[Tuple[int, ...]], sampling order
-    dedup_last: bool = True  # False = no-dedup final hop (faster, same math)
+    # False = no-dedup final hop — faster, and identical math for SAGE
+    # (masked mean) and GAT (masked softmax).  GCN is the exception: its
+    # symmetric norm uses the block in-degree of each SOURCE slot, and a
+    # sampled neighbor that equals a seed has block degree 1 in the
+    # dedup-free layout vs the seed's real degree in the deduped one — a
+    # (minor) normalization difference, not an error (sampled-minibatch
+    # GCN norms are approximations either way; see models/gcn.py).
+    dedup_last: bool = True
     sampler_window: Any = None  # windowed-gather fast path (ops/sampling.py)
     sampler_big_budget: Any = None
     # hops with fewer than this many sampled slots (static B*k) use the
@@ -68,10 +138,7 @@ class Trainer:
     zero_invalid_rows: bool = False
 
     def __post_init__(self):
-        self.optimizer = optax.chain(
-            optax.add_decayed_weights(self.weight_decay),
-            optax.adam(self.lr),
-        )
+        self.optimizer = make_optimizer(self.lr, self.weight_decay)
 
     def _gather_rows(self, features: jnp.ndarray, safe_ids: jnp.ndarray):
         """Feature row gather: multi-row Pallas kernel when enabled."""
@@ -82,27 +149,13 @@ class Trainer:
         return features[safe_ids]
 
     def init_state(self, key: jax.Array) -> TrainState:
-        params = self.model.init(key)
-        return TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        return init_train_state(self.model, self.optimizer, key)
 
     def _loss_fn(self, params, blocks, feats, labels, seed_mask, rng):
-        logits = self.model.apply(
-            params, tuple(reversed(blocks)), feats, train=True, rng=rng,
-            contiguous_first=not self.dedup_last,
+        return masked_nll_loss(
+            self.model, self.dedup_last, params, blocks, feats, labels,
+            seed_mask, rng,
         )
-        labels = jnp.where(seed_mask, labels, 0)
-        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(ll, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
-        nll = jnp.where(seed_mask, nll, 0.0)
-        n = jnp.maximum(jnp.sum(seed_mask.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(nll) / n
-        correct = (jnp.argmax(logits, axis=-1).astype(jnp.int32) == labels) & seed_mask
-        acc = jnp.sum(correct.astype(jnp.float32)) / n
-        return loss, acc
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step(

@@ -63,7 +63,10 @@ def sample_hop(seeds, k):
     j = np.broadcast_to(np.arange(k), pos.shape)
     pos = np.where(take_all, np.minimum(j, np.maximum(d, 1)[:, None] - 1), pos)
     mask = j < np.minimum(d[:, None], k)
-    ids = indices[start[:, None] + pos]
+    # deg-0 rows: start may equal nnz (last node) — clamp the read; the
+    # mask already drops every slot of such rows
+    idx = np.minimum(start[:, None] + pos, len(indices) - 1)
+    ids = indices[idx]
     return ids, mask
 
 

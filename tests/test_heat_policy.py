@@ -446,7 +446,6 @@ class TestAutotune:
             tune_sampler,
             tune_sampler_cost,
         )
-        from dist_gnn_tpu.cache.autotune import _simulate_hops
         from dist_gnn_tpu.dataloading import SeedGenerator
         from dist_gnn_tpu.dataloading.preprocess import make_synthetic_dataset
         from dist_gnn_tpu.sampler import sample_blocks
@@ -467,13 +466,9 @@ class TestAutotune:
             np.asarray(hg.indptr), np.asarray(hg.indices),
             np.asarray(arrays["train_idx"]), 256, fan_out,
         )
-        _, hop_degs, _ = _simulate_hops(
-            np.asarray(hg.indptr), np.asarray(hg.indices),
-            np.asarray(arrays["train_idx"]), 256, fan_out, 4, 0,
-        )
         fan_rev = list(reversed(fan_out))
         cov_ms = predict_config_ms(
-            hop_degs, fan_rev, cov.frontier_caps, 256,
+            fan_rev, cov.frontier_caps, 256,
             cov.window[0], cov.window[1],
             cov.big_row_budget[0], cov.big_row_budget[1],
         )
@@ -483,7 +478,7 @@ class TestAutotune:
         w1, w2 = cfg.window
         r1, r2 = cfg.big_row_budget
         wide_ms = predict_config_ms(
-            hop_degs, fan_rev, cfg.frontier_caps, 256, w1, w2 * 2, r1, r2
+            fan_rev, cfg.frontier_caps, 256, w1, w2 * 2, r1, r2
         )
         assert wide_ms > pred_ms
         # (a) lossless on real batches
@@ -534,3 +529,21 @@ class TestDistTierTuner:
             64, (4, 3), n, hot_ids=hot, seed=99, slack=1.0,
         )
         assert cfg.feat_miss_budget >= cfg2.feat_miss_budget / 1.5 * 0.8
+
+
+def test_frontier_heat_all_biased_default_row_prob_sum():
+    """frontier_heat_all on a biased graph must compute the per-row prob
+    sums itself when the optional argument is omitted (regression:
+    TypeError on `None > 0`)."""
+    import numpy as np
+
+    from dist_gnn_tpu.graph import HostGraph
+    from dist_gnn_tpu.ops.heat import frontier_heat_all
+
+    indptr = np.array([0, 2, 3, 3], np.int64)
+    indices = np.array([1, 2, 0], np.int32)
+    probs = np.array([0.5, 0.5, 1.0], np.float32)
+    g = HostGraph(indptr=indptr, indices=indices, probs=probs).to_device()
+    h = frontier_heat_all(g, jnp.ones((2, 3), jnp.float32), 2)
+    assert np.asarray(h).shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(h)))

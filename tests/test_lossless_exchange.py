@@ -209,3 +209,61 @@ def test_owner_side_sampling_adversarial_skew_lossless():
         for j in range(4):
             if mkt[i, j]:
                 assert int(idt[i, j]) in nbrs
+
+
+def test_out_of_range_ids_zeroed_and_counted():
+    """Masked-true ids outside the sharded table are structurally
+    unservable: every exchange path must return ZERO rows for them AND a
+    nonzero count — never silently-clipped real rows (module contract:
+    'a nonzero count means re-tune, never silent data loss')."""
+    rng = np.random.default_rng(7)
+    N, F = 512, 4
+    feats = rng.standard_normal((N, F)).astype(np.float32)
+
+    # flat 8-chip mesh
+    mesh = _mesh8()
+    store = ShardedFeatureStore(feats, mesh, axis_name="data")
+    ss = store.shard_size
+    total = 8 * ss
+    per = np.stack([np.array([5, total + 9, -3], np.int32)] * 8).reshape(-1)
+    mask = np.ones(per.shape[0], bool)
+
+    def body(shard, ids_, mask_):
+        rows, uns = exchange_gather(shard, ids_, mask_, "data", ss)
+        return rows, jax.lax.psum(uns, "data")
+
+    rows, uns = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data")),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )(store.features, jnp.asarray(per), jnp.asarray(mask))
+    rows = np.asarray(rows).reshape(8, 3, F)
+    assert int(uns) == 16  # 2 bad ids per chip
+    np.testing.assert_allclose(rows[:, 0], np.broadcast_to(feats[5], (8, F)))
+    assert np.all(rows[:, 1:] == 0)
+
+    # hierarchical (2, 4) mesh
+    mesh2 = _mesh2x4()
+    store2 = ShardedFeatureStore(
+        feats, mesh2, axis_name=("host", "data"), hierarchical=True
+    )
+    ss2 = store2.shard_size
+
+    def body2(shard, ids_, mask_):
+        rows, uns = exchange_gather_hier(
+            shard, ids_, mask_, "host", "data", ss2
+        )
+        return rows, jax.lax.psum(uns, ("host", "data"))
+
+    rows2, uns2 = jax.shard_map(
+        body2, mesh=mesh2,
+        in_specs=(P(("host", "data"), None), P(("host", "data")),
+                  P(("host", "data"))),
+        out_specs=(P(("host", "data")), P()),
+        check_vma=False,
+    )(store2.features, jnp.asarray(per), jnp.asarray(mask))
+    rows2 = np.asarray(rows2).reshape(8, 3, F)
+    assert int(uns2) == 16
+    np.testing.assert_allclose(rows2[:, 0], np.broadcast_to(feats[5], (8, F)))
+    assert np.all(rows2[:, 1:] == 0)

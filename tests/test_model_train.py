@@ -486,3 +486,19 @@ def test_gcn_full_graph_inference_matches_oracle():
         if l != 1:
             h = np.maximum(h, 0)
     np.testing.assert_allclose(out, h, rtol=1e-3, atol=1e-4)
+
+
+def test_cached_feature_store_accepts_invalid_padded_plan():
+    """Cache plans arrive as [C] INVALID-padded rows (cache/builder.py);
+    the store must filter the padding instead of indexing the host matrix
+    with int32.max (regression: IndexError in the constructor)."""
+    import numpy as np
+
+    from dist_gnn_tpu.feature_server import CachedFeatureStore
+    from dist_gnn_tpu.graph import INVALID_ID
+
+    feats = np.arange(40.0, dtype=np.float32).reshape(10, 4)
+    plan = np.array([3, 7, INVALID_ID, INVALID_ID], np.int32)
+    store = CachedFeatureStore(feats, plan)
+    rows = store.get_features(jnp.asarray([3, 5, 7], jnp.int32))
+    np.testing.assert_allclose(np.asarray(rows), feats[[3, 5, 7]])

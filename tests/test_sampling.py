@@ -784,3 +784,24 @@ def test_feistel_duplicate_rate_pinned():
     assert dup_rate(1024, 64) == 0.0  # exact bijection, no walk
     rate = dup_rate(1025, 512)  # worst-case walked domain
     assert rate < 1e-3, f"duplicate rate {rate} regressed past the 1e-3 bound"
+
+
+def test_alias_sampler_excludes_zero_weight_edges_take_all():
+    """deg <= k rows must go through the exact Gumbel path, NOT a copy-all
+    shortcut: a zero-probability edge can never be a sampled neighbor
+    (A-Res semantics; sample_biased/_windowed already guarantee this)."""
+    indptr = np.array([0, 3], np.int64)
+    indices = np.array([10, 11, 12], np.int32)
+    probs = np.array([1.0, 0.0, 1.0], np.float32)
+    hg = HostGraph(indptr=indptr, indices=indices, probs=probs)
+    hg.build_alias_tables()
+    g = hg.to_device(with_alias=True)
+    from dist_gnn_tpu.ops.sampling import sample_biased_alias
+
+    out = sample_biased_alias(
+        g, jnp.zeros((1,), jnp.int32), 5, False, jax.random.key(0)
+    )
+    ids = np.asarray(out.ids)[0]
+    mask = np.asarray(out.mask)[0]
+    assert set(ids[mask].tolist()) == {10, 12}
+    assert int(out.overflow) == 0
