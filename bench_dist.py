@@ -108,6 +108,13 @@ def main():
         ax = "data"
 
     feats_np = np.asarray(arrays["features"], np.float32)
+    if on_tpu:
+        # bf16 rows — bench.py parity; the exchange-volume model below
+        # prices rows at F*2 B on TPU, so the store must actually ship
+        # bf16 (f32 rows would double the real ICI traffic vs the model)
+        import ml_dtypes
+
+        feats_np = feats_np.astype(ml_dtypes.bfloat16)
     hot_ids = None
     if args.hot_frac > 0:
         from dist_gnn_tpu.cache.builder import build_cache_plan
@@ -191,14 +198,17 @@ def main():
     valid = int(jnp.sum(blocks[-1].frontier_mask))
     remote_frac = (n - 1) / n
     row_bytes = (F + 4) if args.quantize else F * (2 if on_tpu else 4)
+    # hit rate over VALID frontier slots only: padding maps to node 0,
+    # which is frequently hot (heat-ordered plans), inflating a
+    # padded-average rate by up to the pad fraction
+    fr_np = np.asarray(blocks[-1].frontier)
+    fm_np = np.asarray(blocks[-1].frontier_mask)
+    fr_valid = fr_np[fm_np]
     hot_hit = (
         float(np.mean([
-            store.hot_hit_rate(
-                np.where(np.asarray(blocks[-1].frontier_mask),
-                         np.asarray(blocks[-1].frontier), 0), c)
-            for c in range(n)
+            store.hot_hit_rate(fr_valid, c) for c in range(n)
         ]))
-        if hot_ids is not None else 0.0
+        if hot_ids is not None and len(fr_valid) else 0.0
     )
     budget = store.request_budget_for(L)
     peers = (

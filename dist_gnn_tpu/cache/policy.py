@@ -237,8 +237,8 @@ def score_selfless(
             np.flatnonzero(s_mask), np.flatnonzero(f_mask),
             cost.bandwidth_ici, cost, feature_row_bytes,
         )
-        s_mask[s_nids] = True
-        f_mask[f_nids] = True
+        # (no restore needed: s_mask/f_mask are rebuilt from the counts
+        # at the top of each iteration)
     return total
 
 

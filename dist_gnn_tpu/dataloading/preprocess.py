@@ -153,7 +153,11 @@ def replicate_graph(
         # ring intra-links
         ring = np.arange(n, dtype=np.int64)
         out_src.append(ring + c * n)
-        out_dst.append((ring % n) + ((c + 1) % copies) * n)
+        # node i of copy c -> node (i+1) mod n of copy c+1: a shifted
+        # inter-copy cycle (the unshifted `ring % n` form linked only
+        # i -> i, leaving n disjoint copy-cycles instead of cross-index
+        # connectivity)
+        out_dst.append(((ring + 1) % n) + ((c + 1) % copies) * n)
     src = np.concatenate(out_src)
     dst = np.concatenate(out_dst)
     g = HostGraph.from_coo(src, dst, n * copies)

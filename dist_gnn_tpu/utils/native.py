@@ -126,6 +126,15 @@ def build_csc(
     )
     if rc != 0:
         return None
+    if int(indptr[-1]) != num_edges:
+        # the C counting sort skips out-of-range dst ids, which would
+        # leave an uninitialized-garbage tail in indices silently
+        # consumed as real edges — fail as loudly as the numpy fallback
+        # does for the same inputs
+        raise ValueError(
+            f"build_csc: {num_edges - int(indptr[-1])} edges had dst "
+            f"outside [0, {num_nodes}) — invalid COO input"
+        )
     if num_edges < 2**31:
         indptr = indptr.astype(np.int32)
     return indptr, indices, out_probs
@@ -244,6 +253,15 @@ def gather_rows(
     ids64 = np.ascontiguousarray(ids, dtype=np.int64)
     if out is None:
         out = np.zeros((len(ids64), base.shape[1]), dtype=base.dtype)
+    # the native path memcpys base.strides[0] bytes per row into out — a
+    # narrower caller-supplied out would be a heap overrun (the numpy
+    # fallback raises a broadcast error for the same inputs; the native
+    # path must fail as loudly)
+    if out.shape != (len(ids64), base.shape[1]) or out.dtype != base.dtype:
+        raise ValueError(
+            f"gather_rows: out {out.shape}/{out.dtype} must be "
+            f"[{len(ids64)}, {base.shape[1]}] of {base.dtype}"
+        )
     lib = _find_lib()
     if (
         lib is not None

@@ -172,7 +172,12 @@ def run_host_tier(args, arrays, meta, hg, model, fan_out, log):
         state, ms = trainer.train_batches(
             state, graph, labels, batches, jax.random.key(epoch)
         )
-        jax.block_until_ready(state.params)
+        # device_sync, not block_until_ready: the latter returns before
+        # remote completion on tunneled TPU backends (NOTES fact #1), so
+        # the printed epoch time would measure dispatch, not execution
+        from dist_gnn_tpu.utils.timing import device_sync
+
+        device_sync(state.params)
         dt = _time.perf_counter() - t0
         loss = float(np.mean([float(m["loss"]) for m in ms]))
         acc = float(np.mean([float(m["acc"]) for m in ms]))

@@ -295,7 +295,12 @@ def run_worker(args) -> None:
                 )
                 losses.append(float(m["loss"]))
                 accs.append(float(m["acc"]))
-        jax.block_until_ready(state.params)
+        # device_sync, not block_until_ready: the latter returns before
+        # remote completion on tunneled TPU backends (NOTES fact #1), so
+        # the printed epoch time would measure dispatch, not execution
+        from dist_gnn_tpu.utils.timing import device_sync
+
+        device_sync(state.params)
         dt = time.perf_counter() - t0
 
         correct = total = 0
