@@ -64,23 +64,6 @@ def gather_mean(
     return s / jnp.maximum(cnt, 1)
 
 
-def gather_sum(h_src, slots, mask) -> jnp.ndarray:
-    g = h_src[slots]
-    return jnp.sum(g * mask[..., None].astype(h_src.dtype), axis=1)
-
-
-def gather_weighted_sum(
-    h_src: jnp.ndarray,  # [cap_src, H, F] or [cap_src, F]
-    slots: jnp.ndarray,  # [S, k]
-    weights: jnp.ndarray,  # [S, k] or [S, k, H] (already masked/normalised)
-) -> jnp.ndarray:
-    """sum_j w_ij * h_src[slot_ij] — the SpMM half of attention."""
-    g = h_src[slots]  # [S, k, ...]
-    if g.ndim == 4:  # multi-head: [S, k, H, F] * [S, k, H, 1]
-        return jnp.sum(g * weights[..., None], axis=1)
-    return jnp.sum(g * weights[..., None], axis=1)
-
-
 def masked_segment_softmax(
     scores: jnp.ndarray,  # [S, k] or [S, k, H]
     mask: jnp.ndarray,  # [S, k]

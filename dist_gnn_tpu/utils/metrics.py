@@ -44,7 +44,10 @@ class PhaseTimer:
         return dt
 
     def mean_ms(self, phase: str) -> float:
-        s = self.samples[phase][self.warmup :] or self.samples[phase]
+        # strictly post-warmup; with <= warmup samples fall back to the
+        # LAST sample (least compile-contaminated) rather than averaging
+        # in the first iteration's multi-second XLA compile
+        s = self.samples[phase][self.warmup :] or self.samples[phase][-1:]
         return 1000.0 * sum(s) / max(len(s), 1)
 
     def report(self) -> dict:
@@ -60,7 +63,7 @@ class MetricsLogger:
         rec = {"event": event, "ts": time.time(), **fields}
         line = json.dumps(rec)
         if self.stdout:
-            print(line, file=sys.stderr)
+            print(line, file=sys.stdout)
         if self.fh:
             self.fh.write(line + "\n")
             self.fh.flush()

@@ -26,14 +26,27 @@ import numpy as np
 
 
 def device_sync(tree) -> None:
-    """Wait until device work producing ``tree`` has really finished."""
+    """Wait until device work producing ``tree`` has really finished.
+
+    Reads back one element of EVERY (non-empty) leaf: leaves may come
+    from different dispatches, and a first-leaf-only readback would only
+    fence that leaf's executable — the others could still be running on
+    the remote device (the exact early-return failure mode this module
+    exists to prevent).  The tiny slices are fetched in ONE device_get so
+    the cost is one round-trip, not one per leaf.
+    """
     jax.block_until_ready(tree)
-    leaves = jax.tree.leaves(tree)
+    leaves = [
+        leaf
+        for leaf in jax.tree.leaves(tree)
+        if getattr(leaf, "size", 1) != 0
+    ]
     if not leaves:
         return
-    leaf = leaves[0]
-    # readback of one element creates a true host-side dependency
-    np.asarray(jax.device_get(leaf if getattr(leaf, "ndim", 0) == 0 else leaf.reshape(-1)[0]))
+    jax.device_get(
+        [leaf if getattr(leaf, "ndim", 0) == 0 else leaf.reshape(-1)[0]
+         for leaf in leaves]
+    )
 
 
 def measure_chain(
