@@ -55,3 +55,33 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
     template = other.init_state(jax.random.key(1))
     with pytest.raises(ValueError, match="shape mismatch"):
         load_checkpoint(path, template)
+
+
+def test_checkpoint_bf16_roundtrip_and_dtype_guard(tmp_path):
+    """ml_dtypes params must round-trip exactly (np.savez degrades them to
+    raw void fields without the byte-view sidecar — regression: saved
+    fine, unrecoverable at resume), and a dtype-mismatched template must
+    raise instead of silently casting weights."""
+    import numpy as np
+
+    from dist_gnn_tpu.models import SAGE
+    from dist_gnn_tpu.training import Trainer
+    from dist_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    mb = SAGE(8, 16, 4, 2, param_dtype=jnp.bfloat16)
+    trb = Trainer(model=mb, fan_out=(3, 3))
+    st = trb.init_state(jax.random.key(0))
+    save_checkpoint(str(tmp_path / "ck"), st)
+    st2 = load_checkpoint(str(tmp_path / "ck"), trb.init_state(jax.random.key(1)))
+    a = jax.tree.leaves(st.params)[1]
+    b = jax.tree.leaves(st2.params)[1]
+    assert a.dtype == b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+    import pytest
+
+    m32 = SAGE(8, 16, 4, 2, param_dtype=jnp.float32)
+    tr32 = Trainer(model=m32, fan_out=(3, 3))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        load_checkpoint(str(tmp_path / "ck"), tr32.init_state(jax.random.key(0)))
