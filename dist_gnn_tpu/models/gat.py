@@ -44,8 +44,15 @@ class GAT:
         self.param_dtype = param_dtype
         self.compute_dtype = compute_dtype
         # fused Pallas SDDMM-softmax-aggregate-project kernel
-        # (ops/gat_pallas.py) on layers whose shapes divide its block rows
-        self.use_fused = use_fused
+        # (ops/gat_pallas.py) on layers whose shapes divide its block
+        # rows.  Accepts True/False, or a collection of layer indices for
+        # hybrid configs (e.g. (0,) = kernel on the big layer 0 only, jnp
+        # elsewhere — fewer scheduler-opaque pallas calls per step)
+        self.use_fused = (
+            use_fused
+            if isinstance(use_fused, bool)
+            else frozenset(int(i) for i in use_fused)
+        )
         # True if callers differentiate wrt the layer-0 input features
         # (training never does; the kernel then skips d_x entirely)
         self.input_grad = input_grad
@@ -159,7 +166,12 @@ class GAT:
             p = params[f"layer{l}"]
             w = p["w"] if cd is None else p["w"].astype(cd)
             S_, k_ = block.neigh_mask.shape
-            use_fused = self.use_fused and self.fused_ok(S_, k_, d_in)
+            want_fused = (
+                self.use_fused
+                if isinstance(self.use_fused, bool)
+                else l in self.use_fused
+            )
+            use_fused = want_fused and self.fused_ok(S_, k_, d_in)
             if use_fused:
                 w32 = p["w"].astype(jnp.float32).reshape(d_in, H, d_out)
                 wal = jnp.einsum("ehd,hd->eh", w32, p["a_l"].astype(jnp.float32))
